@@ -1,0 +1,170 @@
+"""Inverted-index build as DataFrame aggregations.
+
+Replaces the reference's per-document in-memory rank_bm25.BM25Okapi
+construction (reference preprocessing.py:513) with a GLOBAL index: the
+reference computes IDF within each file only and then merges scores from
+different files as if comparable (SURVEY.md §4.1 defect 5); the north
+rule pins a global inverted index with global df/idf/avgdl.
+
+Dataflow (every step is built-in Catalyst territory — partial+final hash
+aggregation, broadcast joins, pushdown, AQE):
+
+  corpus (repo,path,commit,lang,content)
+    → docs      doc_id, content_sha256, tokens, doc_len
+    → tf        (doc_id, term) → tf                 [one shuffle on (doc_id,term)]
+    → dfreq     term → df                           [map-side partial agg]
+    → stats     n_docs, avgdl                       [tiny agg, collected]
+    → idf       two-pass epsilon floor (needs global avg of raw idf)
+
+BM25Okapi semantics reproduced exactly (SURVEY.md §2.10):
+  idf_raw(t) = ln(N - df + 0.5) - ln(df + 0.5)
+  idf(t)     = epsilon * mean(idf_raw over vocabulary)   if idf_raw < 0
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .. import BM25_B, BM25_EPSILON, BM25_K1
+from ..functions.tokenize import tokenize_expr, tokenize_udf
+
+
+@dataclass
+class BM25Params:
+    k1: float = BM25_K1  # BASELINE.json pins 1.2 (rank_bm25 default is 1.5)
+    b: float = BM25_B
+    epsilon: float = BM25_EPSILON
+
+
+@dataclass
+class InvertedIndex:
+    """Logical index: a bundle of DataFrames + collected scalar stats."""
+
+    docs: object  # doc_id, repo, path, commit, lang, content_sha256, doc_len
+    tf: object  # doc_id, term, tf
+    idf: object  # term, df, idf_raw, idf
+    n_docs: int
+    avgdl: float
+    avg_idf: float
+    params: BM25Params = field(default_factory=BM25Params)
+    postings: object | None = None  # compressed blocks (operators/postings.py)
+
+
+def with_doc_ids(corpus):
+    """Deterministic doc_id: row_number over ORDER BY (repo, path, commit),
+    0-based — the identity contract shared with the oracle (SURVEY.md §7.2).
+
+    Scale note: a global row_number is a single-partition sort. Fine at
+    bench SFs; at 10^12-file scale assign ids per partition from a sorted
+    write: sortWithinPartitions + per-partition offsets via a count pass
+    (zipWithIndex-style), which preserves the same canonical order without
+    a global sort bottleneck. The canonical ORDER BY is the contract; the
+    physical strategy is swappable.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("repo", "path", "commit")
+    return corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256)).withColumn(
+        "doc_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def tokenized_docs(docs, use_pandas_udf: bool = False):
+    """Add tokens + doc_len. Default path is pure built-in expressions
+    (JVM codegen); the pandas-UDF path is semantically identical."""
+    from pyspark.sql import functions as F
+
+    tok = tokenize_udf()(F.col("content")) if use_pandas_udf else tokenize_expr(F.col("content"))
+    return docs.withColumn("tokens", tok).withColumn("doc_len", F.size("tokens"))
+
+
+def term_frequencies(tok_docs):
+    """A1: explode(tokens) → groupBy(doc_id, term).count().
+
+    Catalyst plans this as partial hash agg (map-side combine on the
+    exploded stream) → shuffle on (doc_id, term) → final agg; hot terms
+    do NOT skew this shuffle because the key includes doc_id.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        tok_docs.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def corpus_stats(tok_docs) -> tuple[int, float]:
+    """A3: N and avgdl — one tiny aggregate, collected to the driver
+    (these are broadcast scalars in every downstream expression)."""
+    from pyspark.sql import functions as F
+
+    row = tok_docs.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).first()
+    return int(row["n_docs"]), float(row["avgdl"] or 0.0)
+
+
+def doc_freqs(tf):
+    """A2: df(t) = distinct docs containing t — count over the (doc_id,
+    term)-unique tf table, so a plain count, no countDistinct shuffle."""
+    from pyspark.sql import functions as F
+
+    return tf.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def idf_table(dfreq, n_docs: int, epsilon: float = BM25_EPSILON):
+    """A5: two-pass epsilon-floored IDF (SURVEY.md §4.3 item 3).
+
+    Pass 1 computes raw idf per term; pass 2 needs the global mean of raw
+    idf (a one-row aggregate collected to the driver) to floor negatives
+    at epsilon * avg_idf. Returns (idf DataFrame, avg_idf scalar).
+    """
+    from pyspark.sql import functions as F
+
+    raw = dfreq.withColumn(
+        "idf_raw",
+        F.log(F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        - F.log(F.col("df") + F.lit(0.5)),
+    )
+    avg_idf = float(raw.agg(F.avg("idf_raw")).first()[0] or 0.0)
+    eps = epsilon * avg_idf
+    idf = raw.withColumn(
+        "idf",
+        F.when(F.col("idf_raw") < 0, F.lit(eps)).otherwise(F.col("idf_raw")),
+    )
+    return idf, avg_idf
+
+
+def build_index(
+    corpus,
+    params: BM25Params | None = None,
+    use_pandas_udf: bool = False,
+    cache: bool = True,
+) -> InvertedIndex:
+    """End-to-end logical index build (uncompressed postings = the tf
+    table). The compressed block-max postings layer is added by
+    operators/postings.py on top of this."""
+    params = params or BM25Params()
+    tok = tokenized_docs(with_doc_ids(corpus), use_pandas_udf=use_pandas_udf)
+    docs = tok.select(
+        "doc_id", "repo", "path", "commit", "lang", "content_sha256", "doc_len"
+    )
+    tf = term_frequencies(tok)
+    if cache:
+        docs = docs.cache()
+        tf = tf.cache()
+    n_docs, avgdl = corpus_stats(tok)
+    idf, avg_idf = idf_table(doc_freqs(tf), n_docs, params.epsilon)
+    if cache:
+        idf = idf.cache()
+    return InvertedIndex(
+        docs=docs,
+        tf=tf,
+        idf=idf,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        avg_idf=avg_idf,
+        params=params,
+    )

@@ -1,0 +1,145 @@
+"""Top-k BM25 query — the DataFrame (brute-force) path.
+
+Replaces the reference's per-document bm25.get_scores loop + np.argsort
+top-k (reference retriever.py:363-415) with one broadcast equi-join plan:
+
+  tf ⋈ broadcast(query_terms) ⋈ broadcast(idf) ⋈ doc_len
+    → per-(doc,term) contribution expression (pure built-ins, codegen'd)
+    → groupBy(doc_id): deterministic ordered fold of contributions
+    → filter(score > 0) → orderBy(score DESC, doc_id ASC) → limit(k)
+
+Semantics pinned to rank_bm25 BM25Okapi (invoked by the reference at
+preprocessing.py:513):
+  * OR semantics — a doc scores on the terms it has; missing terms
+    contribute 0 (reference retriever.py:388 scores every doc).
+  * repeated query terms contribute once PER OCCURRENCE (qtf multiplier).
+  * OOV terms contribute 0 (they simply don't join).
+  * docs with score 0 are excluded from results (posting-list driven).
+  * tie-break (score DESC, doc_id ASC) — the reference leaves ties
+    unspecified (Python sort stability over dict order, SURVEY.md §2.5).
+
+Float reproducibility (SURVEY.md §7.5 risk 1): per-doc score is folded
+over contributions sorted by term — aggregate(sort_array(collect_list(
+struct(term, contrib)))) — so engine and oracle sum in the same order
+and engineered exact ties stay exactly equal.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from ..functions.tokenize import tokenize_py
+from .build import InvertedIndex
+
+
+def query_terms_df(spark, query: str):
+    """Tokenize the query driver-side (it is tiny) into (term, qtf)."""
+    counts = sorted(Counter(tokenize_py(query)).items())
+    if not counts:
+        return spark.createDataFrame([], "term string, qtf int")
+    return spark.createDataFrame(
+        [(t, int(c)) for t, c in counts], "term string, qtf int"
+    )
+
+
+def contribution_col(k1: float, b: float, avgdl: float):
+    """BM25 per-(doc, term) contribution as a built-in expression."""
+    from pyspark.sql import functions as F
+
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
+    )
+    return F.col("idf") * F.col("qtf") * tf * F.lit(k1 + 1.0) / norm
+
+
+def score_all(index: InvertedIndex, query: str):
+    """(doc_id, score) for every doc matching ≥1 query term."""
+    from pyspark.sql import functions as F
+
+    spark = index.tf.sparkSession
+    qt = query_terms_df(spark, query)
+    joined = (
+        index.tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(index.idf.select("term", "idf")), "term")
+        .join(index.docs.select("doc_id", "doc_len"), "doc_id")
+    )
+    contrib = contribution_col(index.params.k1, index.params.b, index.avgdl)
+    per_term = joined.select("doc_id", "term", contrib.alias("contrib"))
+    # Deterministic summation order: fold contributions in ascending term
+    # order (exact ties between identical docs survive float addition).
+    return per_term.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+
+
+def topk(index: InvertedIndex, query: str, k: int, with_doc_cols: bool = False):
+    """T2/T3: global top-k — Spark plans orderBy+limit as per-partition
+    TakeOrderedAndProject (a distributed k-heap), no full sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scores = (
+        score_all(index, query)
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = scores.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+    if with_doc_cols:
+        out = out.join(index.docs.select("doc_id", "repo", "path"), "doc_id").select(
+            "rank", "doc_id", "score", "repo", "path"
+        )
+    return out
+
+
+def run_query_set(index: InvertedIndex, queries: list[tuple[int, str, int]]):
+    """All fixture queries in ONE Spark plan: union of per-query broadcast
+    term tables → single join against tf → per-query window top-k.
+
+    This is the batch-evaluation path the bench harness uses — it avoids
+    one driver round-trip per query and lets AQE share the tf scan.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = index.tf.sparkSession
+    rows = []
+    for qid, text, k in queries:
+        for term, qtf in sorted(Counter(tokenize_py(text)).items()):
+            rows.append((int(qid), term, int(qtf), int(k)))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qt = spark.createDataFrame(rows, "query_id int, term string, qtf int, k int")
+    joined = (
+        index.tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(index.idf.select("term", "idf")), "term")
+        .join(index.docs.select("doc_id", "doc_len"), "doc_id")
+    )
+    contrib = contribution_col(index.params.k1, index.params.b, index.avgdl)
+    per_term = joined.select(
+        "query_id", "k", "doc_id", "term", contrib.alias("contrib")
+    )
+    scores = per_term.groupBy("query_id", "k", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
