@@ -70,12 +70,12 @@ def with_doc_ids(corpus):
     )
 
 
-def tokenized_docs(docs, use_pandas_udf: bool = False):
+def tokenized_docs(docs, text_col: str = "content", use_pandas_udf: bool = False):
     """Add tokens + doc_len. Default path is pure built-in expressions
     (JVM codegen); the pandas-UDF path is semantically identical."""
     from pyspark.sql import functions as F
 
-    tok = tokenize_udf()(F.col("content")) if use_pandas_udf else tokenize_expr(F.col("content"))
+    tok = tokenize_udf()(F.col(text_col)) if use_pandas_udf else tokenize_expr(F.col(text_col))
     return docs.withColumn("tokens", tok).withColumn("doc_len", F.size("tokens"))
 
 
@@ -137,20 +137,24 @@ def idf_table(dfreq, n_docs: int, epsilon: float = BM25_EPSILON):
     return idf, avg_idf
 
 
-def build_index(
-    corpus,
+def build_index_from(
+    docs_with_id,
+    text_col: str = "content",
     params: BM25Params | None = None,
     use_pandas_udf: bool = False,
     cache: bool = True,
 ) -> InvertedIndex:
-    """End-to-end logical index build (uncompressed postings = the tf
-    table). The compressed block-max postings layer is added by
-    operators/postings.py on top of this."""
+    """Index build over ANY table that already carries a unique doc_id
+    bigint column + a text column (e.g. the testdata `documents` table).
+    The InvertedIndex.docs keeps every input column except the raw text
+    and tokens (column pruning — content is never carried past here)."""
+    from pyspark.sql import functions as F
+
     params = params or BM25Params()
-    tok = tokenized_docs(with_doc_ids(corpus), use_pandas_udf=use_pandas_udf)
-    docs = tok.select(
-        "doc_id", "repo", "path", "commit", "lang", "content_sha256", "doc_len"
-    )
+    tok = tokenized_docs(docs_with_id, text_col=text_col, use_pandas_udf=use_pandas_udf)
+    if "content_sha256" not in tok.columns:
+        tok = tok.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+    docs = tok.drop(text_col, "tokens")
     tf = term_frequencies(tok)
     if cache:
         docs = docs.cache()
@@ -167,4 +171,23 @@ def build_index(
         avgdl=avgdl,
         avg_idf=avg_idf,
         params=params,
+    )
+
+
+def build_index(
+    corpus,
+    params: BM25Params | None = None,
+    use_pandas_udf: bool = False,
+    cache: bool = True,
+) -> InvertedIndex:
+    """End-to-end logical index build over an input_hint-shaped corpus
+    (repo, path, commit, lang, content): assigns the canonical doc_id,
+    then delegates. The compressed block-max postings layer is added by
+    operators/postings.py on top of this."""
+    return build_index_from(
+        with_doc_ids(corpus),
+        text_col="content",
+        params=params,
+        use_pandas_udf=use_pandas_udf,
+        cache=cache,
     )

@@ -1,0 +1,136 @@
+"""Query-time top-k over the compressed index with block-max WAND
+pruning (SURVEY.md §4.3 item 2). EXACT: the same top-k and the same
+float scores as the brute-force DataFrame path (tests/test_wand.py
+asserts bit-equality), because
+
+  * blocks are doc-range aligned, so a window's upper bound
+    UB(w) = Σ_t qtf_t · block_max_score(t, w) is a true bound on any
+    doc score inside the window;
+  * a window is skipped only when UB(w) ≤ θ (current k-th best): a
+    skipped doc could at best TIE θ, and windows are processed in
+    ascending doc order with the (score DESC, doc_id ASC) tie-break,
+    so a tying later doc never displaces an incumbent;
+  * surviving windows are scored exactly, adding per-term contributions
+    in ascending term order — the same accumulation order (and the
+    same expression shape, left-associative) as the brute-force path
+    and the oracle, so floats reproduce bit-for-bit.
+
+Physical plan: postings ⋈ broadcast(query idf) [term filter pushed to
+the Parquet scan; term_bucket prunes partitions on a persisted index]
+→ cogroup with shard_meta on part_id → applyInPandas per shard (numpy
+decode + WAND + per-shard k-heap) → global orderBy/limit (planned as
+TakeOrderedAndProject — a distributed k-heap, no full sort). Exactly
+one shuffle after the scan.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from ..functions.tokenize import tokenize_py
+
+
+def make_wand_topk(index, postings, shard_meta, block_span: int | None = None):
+    """Bind a compressed index (operators/postings.py output) to a query
+    function: query(text, k, prune=True) → DataFrame(rank, doc_id, score).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.codec import DEFAULT_BLOCK_SPAN
+
+    span = block_span or DEFAULT_BLOCK_SPAN
+    k1, b_, avgdl = index.params.k1, index.params.b, index.avgdl
+    spark = postings.sparkSession
+    idf_small = index.idf.select("term", "idf")
+
+    def query(text: str, k: int, prune: bool = True):
+        qtf = dict(sorted(Counter(tokenize_py(text)).items()))
+        if not qtf or k <= 0:
+            return spark.createDataFrame([], "rank int, doc_id long, score double")
+        terms = list(qtf)
+        matched = postings.filter(F.col("term").isin(terms)).join(
+            F.broadcast(idf_small.filter(F.col("term").isin(terms))), "term"
+        )
+
+        def score_fn(key, posts_pdf, meta_pdf):
+            import heapq
+
+            import numpy as np
+            import pandas as pd
+
+            from local_search_engine_spark.functions.codec import (
+                decode_block,
+                unpack_i32,
+            )
+
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+            if posts_pdf.empty or meta_pdf.empty:
+                return empty
+            first_doc = int(meta_pdf["first_doc_id"].iloc[0])
+            doc_lens = unpack_i32(meta_pdf["doc_lens"].iloc[0]).astype(np.float64)
+            qw = {t: float(c) for t, c in qtf.items()}
+
+            posts_pdf = posts_pdf.sort_values(["block_id", "term"])
+            scores = np.zeros(doc_lens.size, dtype=np.float64)
+            touched = np.zeros(doc_lens.size, dtype=bool)
+            heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+
+            for bid, grp in posts_pdf.groupby("block_id", sort=True):
+                if prune and len(heap) == k:
+                    ub = float((grp["block_max_score"] * grp["term"].map(qw)).sum())
+                    if ub <= heap[0][0]:
+                        continue  # window cannot beat the k-th best
+                base = int(bid) * span
+                for row in grp.itertuples(index=False):
+                    d, tf = decode_block(row.doc_ids_vb, row.tfs_vb, base)
+                    off = d - first_doc
+                    dl = doc_lens[off]
+                    tfd = tf.astype(np.float64)
+                    contrib = (
+                        float(row.idf)
+                        * qw[row.term]
+                        * tfd
+                        * (k1 + 1.0)
+                        / (tfd + k1 * (1.0 - b_ + b_ * dl / avgdl))
+                    )
+                    scores[off] += contrib
+                    touched[off] = True
+                lo = max(base - first_doc, 0)
+                hi = min(base + span - first_doc, doc_lens.size)
+                for off in np.flatnonzero(touched[lo:hi]) + lo:
+                    s = scores[off]
+                    touched[off] = False
+                    if s <= 0.0:
+                        continue
+                    item = (s, -(off + first_doc))
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+
+            out = sorted(((-nd, s) for s, nd in heap), key=lambda x: (-x[1], x[0]))
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([d for d, _ in out], dtype="int64"),
+                    "score": pd.Series([s for _, s in out], dtype="float64"),
+                }
+            )
+
+        per_shard = (
+            matched.groupBy("part_id")
+            .cogroup(shard_meta.groupBy("part_id"))
+            .applyInPandas(score_fn, "doc_id long, score double")
+        )
+        topk = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score"
+        )
+
+    return query

@@ -1,0 +1,221 @@
+"""Resumable index build: manifest-keyed stage/partition checkpoints +
+lineage and token/posting-count metrics (north-rule requirement;
+SURVEY.md §4.3 item 5).
+
+Spark's own df.checkpoint() is not resumable across applications, so
+resumability is manifest-based: every stage (and, inside the postings
+stage, every shard GROUP) writes idempotently to its own directory and
+records (stage, group, input_fingerprint, rows, wall_ms) in
+_manifest.json. A re-run with the same fingerprint skips completed
+units; a changed fingerprint invalidates everything downstream.
+
+Replaces the reference's save_indices/load_indices JSON+pickle
+persistence (reference preprocessing.py:597-671) with schema-checked
+Parquet, and its incremental corpus append (reference
+retriever.py:268-310) with deterministic re-build semantics (see
+streaming/merge.py for the append path).
+
+Layout under index_dir/:
+  _manifest.json        stage/group completion + lineage
+  _metrics.jsonl        one line per completed unit (run_id, stage, rows, wall_ms)
+  stats.json            n_docs, avgdl, avg_idf, params
+  docs/                 doc_id, repo, path, commit, lang, content_sha256, doc_len
+  tf/                   doc_id, term, tf
+  idf/                  term, df, idf_raw, idf
+  postings/group=G/     compressed blocks (term_bucket, part_id, block_id, ...)
+  shard_meta/           part_id, first_doc_id, n_docs, doc_lens
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class Manifest:
+    def __init__(self, index_dir: str):
+        self.dir = index_dir
+        self.path = os.path.join(index_dir, "_manifest.json")
+        self.metrics_path = os.path.join(index_dir, "_metrics.jsonl")
+        self.data = {"units": {}}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.data = json.load(f)
+
+    def done(self, unit: str, fingerprint: str) -> bool:
+        u = self.data["units"].get(unit)
+        return bool(u and u["fingerprint"] == fingerprint and u["status"] == "done")
+
+    def mark(self, unit: str, fingerprint: str, run_id: str, **metrics) -> None:
+        self.data["units"][unit] = {
+            "fingerprint": fingerprint,
+            "status": "done",
+            "run_id": run_id,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            **metrics,
+        }
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps({"run_id": run_id, "unit": unit, **metrics}) + "\n")
+
+
+def corpus_fingerprint(corpus, params) -> str:
+    """Cheap-but-honest input lineage: row count + order-independent XOR
+    of per-row key hashes + build params. One extra scan at build start."""
+    from pyspark.sql import functions as F
+
+    row = corpus.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(repo, path, commit))").alias("h"),
+    ).first()
+    return f"n={row['n']};h={row['h']};k1={params.k1};b={params.b};eps={params.epsilon}"
+
+
+def build_persisted_index(
+    spark,
+    corpus,
+    index_dir: str,
+    params=None,
+    docs_per_shard: int = 50_000,
+    block_span: int | None = None,
+    n_buckets: int = 64,
+    n_groups: int = 8,
+    only_groups: list[int] | None = None,
+):
+    """Build (or resume) the full compressed index at index_dir.
+
+    only_groups: restrict the postings stage to a subset of shard groups
+    — used by the resume test to simulate a killed build; production use
+    is per-group retry isolation.
+
+    Returns the manifest (with per-unit skip/build lineage).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.codec import DEFAULT_BLOCK_SPAN
+    from ..operators.build import BM25Params, build_index
+    from ..operators.postings import build_postings
+
+    params = params or BM25Params()
+    span = block_span or DEFAULT_BLOCK_SPAN
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifest(index_dir)
+    run_id = uuid.uuid4().hex[:12]
+    fp = corpus_fingerprint(corpus, params)
+
+    def stage(unit: str, fn):
+        if man.done(unit, fp):
+            return False
+        t0 = time.time()
+        metrics = fn() or {}
+        man.mark(unit, fp, run_id, wall_ms=int((time.time() - t0) * 1000), **metrics)
+        return True
+
+    idx = build_index(corpus, params=params, cache=True)
+
+    def write_docs():
+        idx.docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+        return {"rows": idx.n_docs}
+
+    def write_tf():
+        idx.tf.write.mode("overwrite").parquet(os.path.join(index_dir, "tf"))
+        n_postings = idx.tf.count()
+        n_tokens = idx.docs.agg(F.sum("doc_len")).first()[0]
+        return {"rows": n_postings, "n_tokens": int(n_tokens or 0)}
+
+    def write_idf():
+        idx.idf.write.mode("overwrite").parquet(os.path.join(index_dir, "idf"))
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(
+                {
+                    "n_docs": idx.n_docs,
+                    "avgdl": idx.avgdl,
+                    "avg_idf": idx.avg_idf,
+                    "k1": params.k1,
+                    "b": params.b,
+                    "epsilon": params.epsilon,
+                    "docs_per_shard": docs_per_shard,
+                    "block_span": span,
+                    "n_buckets": n_buckets,
+                    "n_groups": n_groups,
+                },
+                f,
+            )
+        return {"rows": idx.idf.count()}
+
+    stage("docs", write_docs)
+    stage("tf", write_tf)
+    stage("idf", write_idf)
+
+    postings, shard_meta = build_postings(
+        idx, docs_per_shard=docs_per_shard, block_span=span, n_buckets=n_buckets
+    )
+
+    def write_shard_meta():
+        shard_meta.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "shard_meta")
+        )
+        return {"rows": shard_meta.count()}
+
+    stage("shard_meta", write_shard_meta)
+
+    # Per-partition-group checkpointing of the heavy stage: group =
+    # part_id % n_groups; each group is its own idempotent write +
+    # manifest unit, so a killed build resumes at group granularity.
+    groups = [
+        g
+        for g in (only_groups if only_groups is not None else range(n_groups))
+        if not man.done(f"postings/group={g}", fp)
+    ]
+    if groups:
+        # materialize the encode stage once; group writes just filter it
+        postings = postings.persist()
+    for g in groups:
+        gdir = os.path.join(index_dir, "postings", f"group={g}")
+
+        def write_group(g=g, gdir=gdir):
+            part = postings.filter(F.pmod(F.col("part_id"), F.lit(n_groups)) == g)
+            part.write.mode("overwrite").parquet(gdir)
+            n = spark.read.parquet(gdir).count()
+            return {"rows": n, "group": g}
+
+        stage(f"postings/group={g}", write_group)
+
+    if groups:
+        postings.unpersist()
+    idx.docs.unpersist()
+    idx.tf.unpersist()
+    idx.idf.unpersist()
+    return man
+
+
+def load_index(spark, index_dir: str):
+    """Load a persisted index → (InvertedIndex, postings, shard_meta,
+    stats dict). Query with operators.wand.make_wand_topk."""
+    from ..operators.build import BM25Params, InvertedIndex
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    params = BM25Params(k1=stats["k1"], b=stats["b"], epsilon=stats["epsilon"])
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    tf = spark.read.parquet(os.path.join(index_dir, "tf"))
+    idf = spark.read.parquet(os.path.join(index_dir, "idf"))
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    shard_meta = spark.read.parquet(os.path.join(index_dir, "shard_meta"))
+    idx = InvertedIndex(
+        docs=docs,
+        tf=tf,
+        idf=idf,
+        n_docs=stats["n_docs"],
+        avgdl=stats["avgdl"],
+        avg_idf=stats["avg_idf"],
+        params=params,
+        postings=postings,
+    )
+    return idx, postings, shard_meta, stats

@@ -1,0 +1,83 @@
+"""Resumability (SURVEY.md §5.2 item 6): kill the build after a subset
+of postings groups, re-run, assert completed units are skipped (manifest
+hits) and the final index is content-identical to a single-shot build —
+and that queries over the loaded index stay rank-identical to the oracle.
+"""
+
+import json
+import os
+
+import pytest
+
+from local_search_engine_spark.operators.wand import make_wand_topk
+from local_search_engine_spark.plans.checkpoint import (
+    Manifest,
+    build_persisted_index,
+    load_index,
+)
+from local_search_engine_spark.sources.corpus import gen_corpus_spark, query_set
+
+from .oracle import oracle_for_corpus
+
+N_DOCS = 100
+KW = dict(docs_per_shard=16, block_span=8, n_buckets=8, n_groups=4)
+
+
+def _postings_content(spark, d):
+    rows = spark.read.parquet(os.path.join(d, "postings")).collect()
+    return sorted(
+        (
+            r["term"],
+            r["part_id"],
+            r["block_id"],
+            r["n"],
+            r["first_doc_id"],
+            r["last_doc_id"],
+            bytes(r["doc_ids_vb"]),
+            bytes(r["tfs_vb"]),
+            r["block_max_score"],
+        )
+        for r in rows
+    )
+
+
+def test_resume_skips_done_and_matches_single_shot(spark, tmp_path):
+    corpus = gen_corpus_spark(spark, N_DOCS, partitions=8)
+
+    single = str(tmp_path / "single")
+    build_persisted_index(spark, corpus, single, **KW)
+
+    # simulated kill: only groups 0..1 of 4 complete
+    resumed = str(tmp_path / "resumed")
+    build_persisted_index(spark, corpus, resumed, only_groups=[0, 1], **KW)
+    man_before = Manifest(resumed)
+    assert sum(1 for u in man_before.data["units"] if u.startswith("postings/")) == 2
+
+    # resume: earlier stages + groups 0-1 must be manifest hits
+    man = build_persisted_index(spark, corpus, resumed, **KW)
+    run_ids = {u: v["run_id"] for u, v in man.data["units"].items()}
+    first_run = man_before.data["units"]["docs"]["run_id"]
+    for unit in ["docs", "tf", "idf", "shard_meta", "postings/group=0", "postings/group=1"]:
+        assert run_ids[unit] == first_run, f"{unit} was rebuilt, not skipped"
+    assert run_ids["postings/group=2"] != first_run
+    assert run_ids["postings/group=3"] != first_run
+
+    assert _postings_content(spark, resumed) == _postings_content(spark, single)
+
+    # metrics JSONL has one line per completed unit
+    with open(os.path.join(resumed, "_metrics.jsonl")) as f:
+        lines = [json.loads(ln) for ln in f]
+    assert {ln["unit"] for ln in lines} == set(run_ids)
+
+
+def test_loaded_index_rank_identity(spark, tmp_path):
+    corpus = gen_corpus_spark(spark, N_DOCS, partitions=8)
+    d = str(tmp_path / "idx")
+    build_persisted_index(spark, corpus, d, **KW)
+    idx, postings, shard_meta, stats = load_index(spark, d)
+    wand = make_wand_topk(idx, postings, shard_meta, block_span=stats["block_span"])
+    oracle = oracle_for_corpus(N_DOCS)
+    for qid, text, k in query_set(N_DOCS)[:8]:
+        got = [(r["rank"], r["doc_id"]) for r in wand(text, k).collect()]
+        want = [(r, d_) for r, d_, _ in oracle.topk(text, k)]
+        assert got == want, (qid, text)

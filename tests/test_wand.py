@@ -1,0 +1,66 @@
+"""WAND exactness (SURVEY.md §5.2 item 4): compressed-index top-k with
+block-max pruning ≡ brute-force DataFrame top-k — bit-identical scores —
+on every fixture query; pruning on vs off identical; and the compressed
+path is rank-identical to the pure-Python oracle."""
+
+import pytest
+
+from local_search_engine_spark.operators.build import build_index
+from local_search_engine_spark.operators.postings import build_postings
+from local_search_engine_spark.operators.query import topk as brute_topk
+from local_search_engine_spark.operators.wand import make_wand_topk
+from local_search_engine_spark.sources.corpus import gen_corpus_spark, query_set
+
+from .oracle import oracle_for_corpus
+
+N_DOCS = 100
+# tiny shards/blocks so the 100-doc corpus exercises multi-shard,
+# multi-block paths: 7 shards of 16 docs, 2-4 blocks per shard
+DOCS_PER_SHARD = 16
+BLOCK_SPAN = 8
+
+
+@pytest.fixture(scope="module")
+def compressed(spark):
+    idx = build_index(gen_corpus_spark(spark, N_DOCS, partitions=8))
+    postings, shard_meta = build_postings(
+        idx, docs_per_shard=DOCS_PER_SHARD, block_span=BLOCK_SPAN
+    )
+    postings = postings.cache()
+    shard_meta = shard_meta.cache()
+    postings.count(), shard_meta.count()
+    return idx, make_wand_topk(idx, postings, shard_meta, block_span=BLOCK_SPAN)
+
+
+def _rows(df):
+    return [(r["rank"], r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_wand_equals_bruteforce_bitexact(compressed):
+    idx, wand = compressed
+    for qid, text, k in query_set(N_DOCS):
+        got = _rows(wand(text, k))
+        want = _rows(brute_topk(idx, text, k))
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], (
+            qid,
+            text,
+        )
+        for (_, _, s_g), (_, _, s_w) in zip(got, want):
+            assert s_g == s_w, (qid, text)  # bit-identical floats
+
+
+def test_prune_toggle_identical(compressed):
+    _, wand = compressed
+    for text, k in [("def merge shard", 10), ("tiebait", 20), ("the", 5)]:
+        assert _rows(wand(text, k, prune=True)) == _rows(wand(text, k, prune=False))
+
+
+def test_wand_rank_identity_vs_oracle(compressed):
+    _, wand = compressed
+    oracle = oracle_for_corpus(N_DOCS)
+    for qid, text, k in query_set(N_DOCS):
+        got = _rows(wand(text, k))
+        want = oracle.topk(text, k)
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], (qid, text)
+        for (_, _, s_g), (_, _, s_o) in zip(got, want):
+            assert s_g == pytest.approx(s_o, abs=1e-9)
