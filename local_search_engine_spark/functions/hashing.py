@@ -1,0 +1,67 @@
+"""Portable deterministic hashing — identical results from Spark SQL
+expressions and ANSI-ish SQL (DuckDB oracle side).
+
+Everything the dedup / fingerprint / LSH operators need reduces to one
+primitive: a 32-bit unsigned integer hash of a string that BOTH engines
+compute bit-identically. We derive it from md5 (hex output is identical
+everywhere) instead of engine-native hashes (Spark xxhash64 and DuckDB
+hash() disagree):
+
+    h32(s) = int(hex_to_dec(substr(md5(s), 1, 8)))        ∈ [0, 2^32)
+
+On top of h32:
+  * universal-hash permutations for MinHash:  (a*h + b) mod P,
+    P = 2^31 - 1 (Mersenne). a,b < P and h < 2^32 so a*h < 2^62 — no
+    int64 overflow in either engine.
+  * SimHash bit extraction: (h >> j) & 1 for j in 0..31.
+  * polynomial rolling fingerprint: fold acc = (acc*B + h mod P) mod P.
+
+The reference has no content hashing at all (nearest analogue: chunk-id
+identity, reference retriever.py:191); these power the dedup operators a
+training-data pipeline needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+FINGERPRINT_B = 131
+
+# MinHash permutation constants: fixed literals (NOT runtime-random) so
+# engine, oracle, and any re-run agree. Generated once from the digits of
+# pi/e (public, arbitrary, odd, < P).
+MINHASH_A = [
+    1_000_003, 1_299_709, 1_500_007, 1_700_021, 1_900_037, 2_100_001,
+    314_159, 271_829, 161_803, 141_421, 173_205, 223_607,
+    577_215, 693_147, 301_029, 434_294,
+]
+MINHASH_B = [
+    12_345, 67_891, 23_457, 89_013, 45_679, 1_235,
+    98_765, 43_211, 87_655, 32_099, 76_543, 21_087,
+    65_431, 9_877, 54_321, 98_761,
+]
+N_PERMS = 16
+
+
+def h32_col(col):
+    """Spark Column[string] -> Column[long] in [0, 2^32)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    """Same hash as h32_col, as DuckDB SQL over a string expression."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::bigint)"
+
+
+def minhash_col(h_col, perm: int):
+    """Spark: permuted hash (a*h + b) mod P for permutation index."""
+    from pyspark.sql import functions as F
+
+    a, b = MINHASH_A[perm], MINHASH_B[perm]
+    return F.pmod(F.lit(a) * h_col + F.lit(b), F.lit(MERSENNE_P))
+
+
+def minhash_sql(h_expr: str, perm: int) -> str:
+    a, b = MINHASH_A[perm], MINHASH_B[perm]
+    return f"(({a}::bigint * {h_expr} + {b}) % {MERSENNE_P})"

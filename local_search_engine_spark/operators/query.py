@@ -14,7 +14,10 @@ preprocessing.py:513):
     contribute 0 (reference retriever.py:388 scores every doc).
   * repeated query terms contribute once PER OCCURRENCE (qtf multiplier).
   * OOV terms contribute 0 (they simply don't join).
-  * docs with score 0 are excluded from results (posting-list driven).
+  * result domain = docs matching >=1 query term (posting-list driven);
+    NO score-sign filter — the epsilon floor is legitimately negative on
+    corpora with avg_idf < 0 (tiny vocabularies), and matched docs keep
+    their (possibly negative) scores.
   * tie-break (score DESC, doc_id ASC) — the reference leaves ties
     unspecified (Python sort stability over dict order, SURVEY.md §2.5).
 
@@ -85,7 +88,6 @@ def topk(index: InvertedIndex, query: str, k: int, with_doc_cols: bool = False):
 
     scores = (
         score_all(index, query)
-        .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -138,8 +140,7 @@ def run_query_set(index: InvertedIndex, queries: list[tuple[int, str, int]]):
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scores.filter(F.col("score") > 0)
-        .withColumn("rank", F.row_number().over(w))
+        scores.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )

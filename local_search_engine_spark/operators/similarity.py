@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (array<float>).
+
+Replaces the reference's per-document FAISS IndexFlatL2 loop (reference
+retriever.py:312-361, preprocessing.py:449-461) — which searches one
+index per file and merges incomparable scores — with global distributed
+top-k:
+
+  * cosine_topk        — exact brute force, pure built-in expressions
+                         (zip_with/aggregate fold, JVM codegen); the
+                         correctness baseline.
+  * cosine_topk_pandas — exact brute force via an Arrow-batched numpy
+                         matmul pandas UDF; the throughput path (one
+                         BLAS gemv per batch instead of per-element
+                         expression eval).
+  * srp_lsh_buckets /
+    srp_lsh_topk       — signed-random-projection LSH bucketing; the
+                         scale path (candidates from matching buckets
+                         only). Hyperplanes are derived deterministically
+                         from md5 so the oracle can reproduce them.
+
+Top-k is orderBy+limit — Spark plans it as TakeOrderedAndProject (a
+per-partition k-heap + driver merge), no global sort.
+"""
+
+from __future__ import annotations
+
+from ..functions.hashing import h32_col
+
+SRP_BITS = 8
+
+
+def _as_double(col):
+    from pyspark.sql import functions as F
+
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    from pyspark.sql import functions as F
+
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    from pyspark.sql import functions as F
+
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_scores(embeddings, query_vec, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(id, cosine) for every row vs a literal query vector."""
+    from pyspark.sql import functions as F
+
+    q = [float(x) for x in query_vec]
+    qcol = F.array(*[F.lit(x) for x in q])
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    return v.select(
+        "id", (_dot(F.col("v"), qcol) / (_norm(F.col("v")) * _norm(qcol))).alias("cosine")
+    )
+
+
+def cosine_topk(embeddings, query_vec, k: int, id_col: str = "vec_id", vec_col: str = "embedding", exclude_id=None):
+    """Exact top-k by cosine, tie-break (cosine DESC, id ASC)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cosine_scores(embeddings, query_vec, id_col, vec_col)
+    if exclude_id is not None:
+        s = s.filter(F.col("id") != exclude_id)
+    top = s.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")
+
+
+def cosine_topk_pandas(embeddings, query_vec, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Same result as cosine_topk via a vectorized numpy matmul pandas
+    UDF — the 100 TB throughput path (Arrow batch → one gemv)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def score_batches(it):
+        for pdf in it:
+            m = np.vstack(pdf[vec_col].map(lambda a: np.asarray(a, dtype=np.float64)).to_numpy())
+            dots = m @ q
+            norms = np.sqrt((m * m).sum(axis=1))
+            yield pd.DataFrame({"id": pdf[id_col], "cosine": dots / (norms * qn)})
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score_batches, "id long, cosine double"
+    )
+    top = scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")
+
+
+def srp_hyperplanes(dim: int, bits: int = SRP_BITS) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible by
+    the SQL oracle: component (j, d) = (h32(f"srp:{j}:{d}") / 2^31) - 1,
+    a value in [-1, 1)."""
+    import hashlib
+
+    planes = []
+    for j in range(bits):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"srp:{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 2147483648.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_lsh_buckets(embeddings, dim: int, bits: int = SRP_BITS, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(id, bucket): signed-random-projection bucket per vector.
+    bucket bit j = 1 iff dot(v, plane_j) > 0. Pure built-in expressions."""
+    from pyspark.sql import functions as F
+
+    planes = srp_hyperplanes(dim, bits)
+    v = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        pcol = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(F.col("v"), pcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return v.select("id", bucket.alias("bucket"))
+
+
+def srp_lsh_topk(embeddings, query_vec, k: int, dim: int, bits: int = SRP_BITS, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate top-k: score only vectors in the query's SRP bucket
+    (fallback: if the bucket holds < k vectors the caller should lower
+    `bits` — kept simple; the exactness contract belongs to cosine_topk).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    planes = srp_hyperplanes(dim, bits)
+    qbucket = 0
+    for j, plane in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, plane)) > 0:
+            qbucket |= 1 << j
+    buckets = srp_lsh_buckets(embeddings, dim, bits, id_col, vec_col)
+    cand_ids = buckets.filter(F.col("bucket") == qbucket).select("id")
+    s = cosine_scores(embeddings, query_vec, id_col, vec_col).join(cand_ids, "id")
+    top = s.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")

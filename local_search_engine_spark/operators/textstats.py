@@ -1,0 +1,132 @@
+"""Text analysis operators: language ID, quality scoring, token stats,
+document fingerprinting.
+
+The reference computes ad-hoc per-result text metrics driver-side
+(unique-word ratio reference retriever.py:754-755, keyword-match ratio
+:758-760); these lift that capability to corpus-scale DataFrame
+operators plus the standard training-data-pipeline additions (language
+ID, quality score, fingerprint). Everything is built-in expressions —
+JVM codegen, no Python in the hot path — and every operator has an
+exact SQL oracle (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from ..functions.hashing import FINGERPRINT_B, MERSENNE_P, h32_col
+from ..functions.tokenize import tokenize_expr
+
+# Deterministic marker lists for the n-gram/stopword language heuristic.
+# Scores are hit-counts of language-marker tokens; argmax with
+# alphabetical tie-break. (On synthetic corpora whose text is all
+# English-ish this degenerates to 'en'/'und' — the contract is
+# engine==oracle determinism, not linguistic accuracy.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en": ("the", "a", "and", "of", "is", "to", "in"),
+    "es": ("el", "la", "de", "que", "los", "una", "es"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "on", "for")
+
+
+def token_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc token accounting: regex-token count, whitespace-split
+    count, distinct terms, max term length, chars per token."""
+    from pyspark.sql import functions as F
+
+    toks = tokenize_expr(F.col(text_col))
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(ws))
+        .alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc quality features + a blended score in [0,1]:
+      unique_ratio   = |distinct tokens| / |tokens|      (reference
+                       retriever.py:754-755 lifted to corpus scale)
+      stop_ratio     = stopword tokens / tokens
+      alpha_ratio    = alphabetic chars / chars
+      len_score      = min(1, n_tokens / 100)
+      quality        = 0.3*unique + 0.2*(1-stop) + 0.3*alpha + 0.2*len
+    All plain expressions; rounded by the caller for cross-engine hash.
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokenize_expr(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"), toks.alias("_toks"))
+    n_tok = F.size("_toks")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter("_toks", lambda t: F.array_contains(stop_arr, t)))
+    n_alpha = F.length(F.regexp_replace(F.col("_t"), "[^A-Za-z]", ""))
+    unique_ratio = F.when(n_tok > 0, F.size(F.array_distinct("_toks")) / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(F.length("_t") > 0, n_alpha / F.length("_t")).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    quality = (
+        F.lit(0.3) * unique_ratio
+        + F.lit(0.2) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * len_score
+    )
+    return d.select(
+        "doc_id",
+        unique_ratio.alias("unique_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        len_score.alias("len_score"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, pred_lang): marker-token hit-count argmax, alphabetical
+    tie-break, 'und' when no marker hits."""
+    from pyspark.sql import functions as F
+
+    toks = tokenize_expr(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    scored = d
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scored = scored.withColumn(
+            f"_s_{lang}", F.size(F.filter("_toks", lambda t: F.array_contains(markers, t)))
+        )
+    # argmax with alphabetical tie-break: fold over sorted langs, keep
+    # strictly-greater winner
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        s = F.col(f"_s_{lang}")
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return scored.select("doc_id", best_lang.alias("pred_lang"), best_score.alias("marker_hits"))
+
+
+def doc_fingerprints(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, fingerprint, min_shingle_hash):
+      fingerprint      = polynomial rolling hash over the token sequence:
+                         fold acc = (acc*B + (h32(tok) mod P)) mod P
+      min_shingle_hash = min over tokens of h32 (a 1-perm minhash) —
+                         cheap content identity robust to reordering.
+    Built-ins only: transform(tokens, h32) + aggregate fold.
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokenize_expr(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    hashes = F.transform("_toks", lambda t: F.pmod(h32_col(t), F.lit(MERSENNE_P)))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * FINGERPRINT_B + h, F.lit(MERSENNE_P)),
+    )
+    mn = F.when(F.size("_toks") > 0, F.array_min(hashes)).otherwise(F.lit(None).cast("long"))
+    return d.select("doc_id", fp.alias("fingerprint"), mn.alias("min_token_hash"))

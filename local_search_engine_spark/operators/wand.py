@@ -83,7 +83,12 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None):
 
             for bid, grp in posts_pdf.groupby("block_id", sort=True):
                 if prune and len(heap) == k:
-                    ub = float((grp["block_max_score"] * grp["term"].map(qw)).sum())
+                    # clamp negative block maxima to 0: a doc NOT containing
+                    # a negatively-scored term would otherwise exceed the
+                    # "bound" (negative floored idf is legal when avg_idf<0)
+                    ub = float(
+                        (grp["block_max_score"].clip(lower=0.0) * grp["term"].map(qw)).sum()
+                    )
                     if ub <= heap[0][0]:
                         continue  # window cannot beat the k-th best
                 base = int(bid) * span
@@ -106,8 +111,7 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None):
                 for off in np.flatnonzero(touched[lo:hi]) + lo:
                     s = scores[off]
                     touched[off] = False
-                    if s <= 0.0:
-                        continue
+                    scores[off] = 0.0
                     item = (s, -(off + first_doc))
                     if len(heap) < k:
                         heapq.heappush(heap, item)

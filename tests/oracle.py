@@ -68,14 +68,17 @@ class BM25Oracle:
         return s
 
     def topk(self, query: str, k: int) -> list[tuple[int, int, float]]:
-        """[(rank, doc_id, score)] — score>0 docs only, (score DESC,
-        doc_id ASC) tie-break, 1-based rank."""
+        """[(rank, doc_id, score)] — docs matching >=1 query term (the
+        posting-list-driven domain; NO score-sign filter, because the
+        BM25Okapi epsilon floor is legitimately negative on corpora with
+        avg_idf < 0), (score DESC, doc_id ASC) tie-break, 1-based rank."""
         qtoks = tokenize_py(query)
+        qterms = set(qtoks)
         scored = []
         for d in range(self.n_docs):
-            s = self.score(qtoks, d)
-            if s > 0:
-                scored.append((d, s))
+            if not any(self.tf[d].get(t, 0) for t in qterms):
+                continue
+            scored.append((d, self.score(qtoks, d)))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return [(r + 1, d, s) for r, (d, s) in enumerate(scored[:k])]
 
