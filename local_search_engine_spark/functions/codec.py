@@ -41,6 +41,39 @@ def encode_vb(values) -> bytes:
     return out.tobytes()
 
 
+def encode_vb_sliced(values, run_starts) -> list[bytes]:
+    """Varbyte-encode a concatenation of runs in ONE vectorized pass and
+    return the per-run byte strings.
+
+    values: non-negative ints, the runs laid out back-to-back;
+    run_starts: ascending start index of each run (first must be 0).
+    Byte-identical to encode_vb(values[s:e]) per run — asserted in
+    tests/test_codec.py — but costs one numpy pass for the whole group
+    instead of one Python call per run.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b"" for _ in range(len(run_starts))]
+    nb = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    bounds = np.concatenate(([0], np.cumsum(nb)))  # value i occupies bounds[i]:bounds[i+1]
+    starts = bounds[:-1]
+    out = np.zeros(int(bounds[-1]), dtype=np.uint8)
+    for j in range(int(nb.max())):
+        m = nb > j
+        byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] - 1 > j).astype(np.uint8)
+        out[starts[m] + j] = byte | (cont << 7)
+    buf = out.tobytes()
+    rs = np.asarray(run_starts, dtype=np.int64)
+    byte_starts = bounds[rs]
+    byte_ends = np.append(bounds[rs[1:]], bounds[-1]) if rs.size else np.empty(0, np.int64)
+    return [buf[int(s) : int(e)] for s, e in zip(byte_starts, byte_ends)]
+
+
 def decode_vb(buf: bytes) -> np.ndarray:
     """Vectorized varbyte decode → uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)

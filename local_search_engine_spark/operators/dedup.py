@@ -120,31 +120,48 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+def minhash_signatures(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles=None,
+):
     """(doc_id, perm, sig): MinHash signature rows, perm in 0..N_PERMS-1.
 
     sig(doc, p) = min over shingles of ((a_p * h32(shingle) + b_p) mod P).
-    One explode of the perm dimension over the distinct-shingle stream,
-    then a map-side-combinable min aggregation — no skew (key includes
-    doc_id).
+    All N_PERMS mins are computed in ONE groupBy(doc_id) with N_PERMS
+    min-expressions — map-side partial aggregation shrinks each input
+    partition to one 16-column row per doc before the (unskewed,
+    doc-keyed) shuffle. This beats exploding the perm dimension by ~N_PERMS×
+    in shuffled rows. posexplode of the final 16-wide row restores the
+    tall (doc_id, perm, sig) shape downstream code expects.
+
+    shingles: optionally pass a precomputed doc_shingles() DataFrame so
+    callers (minhash_lsh_pairs) share one cached shingle scan between
+    signature generation and candidate verification.
     """
     from pyspark.sql import functions as F
 
-    sh = doc_shingles(docs, text_col, id_col, n).withColumn("h", h32_col(F.col("shingle")))
-    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERMS - 1))).alias("perm")
-    rows = sh.select("doc_id", "h", perms)
-    # (a*h+b) mod P with per-row perm index: build via element_at over literals
     from ..functions.hashing import MINHASH_A, MINHASH_B
 
-    a_arr = F.array(*[F.lit(x) for x in MINHASH_A])
-    b_arr = F.array(*[F.lit(x) for x in MINHASH_B])
-    sig = F.pmod(
-        F.element_at(a_arr, F.col("perm") + 1).cast("long") * F.col("h")
-        + F.element_at(b_arr, F.col("perm") + 1),
-        F.lit(MERSENNE_P),
-    )
-    return rows.select("doc_id", "perm", sig.alias("sig")).groupBy("doc_id", "perm").agg(
-        F.min("sig").alias("sig")
+    sh = shingles if shingles is not None else doc_shingles(docs, text_col, id_col, n)
+    sh = sh.withColumn("h", h32_col(F.col("shingle")))
+    aggs = [
+        F.min(
+            F.pmod(
+                F.lit(MINHASH_A[p]) * F.col("h") + F.lit(MINHASH_B[p]),
+                F.lit(MERSENNE_P),
+            )
+        ).alias(f"s{p}")
+        for p in range(N_PERMS)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"s{p}") for p in range(N_PERMS)])).alias(
+            "perm", "sig"
+        ),
     )
 
 
@@ -168,7 +185,8 @@ def minhash_lsh_pairs(
     from pyspark.sql import functions as F
 
     rows_per_band = N_PERMS // bands
-    sig = minhash_signatures(docs, text_col, id_col, n)
+    sh = doc_shingles(docs, text_col, id_col, n).cache()
+    sig = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
     banded = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -186,8 +204,8 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    # exact verification join against shingle sets, candidates only
-    sh = doc_shingles(docs, text_col, id_col, n).cache()
+    # exact verification join against the SAME cached shingle sets,
+    # candidates only
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ia = sh.select(F.col("doc_id").alias("a"), "shingle")
     ib = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -225,25 +243,24 @@ def simhash_signatures(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     th = tf.withColumn("h", h32_col(F.col("term")))
-    bits = th.select(
-        "doc_id",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-    )
-    # variable-amount shifts need SQL-expression form (the Python
-    # F.shiftright/shiftleft helpers only accept literal amounts)
-    signed = bits.withColumn(
-        "w", F.col("tf") * F.expr("(shiftright(h, cast(j as int)) & 1) * 2 - 1")
-    )
-    per_bit = signed.groupBy("doc_id", "j").agg(F.sum("w").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
+    # All 32 bit-sums in ONE groupBy(doc_id) aggregation (map-side
+    # combinable) instead of exploding the bit dimension ×32 through the
+    # shuffle; the final bit-pack is a pure column expression.
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, cast(j as int))")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+            F.col("tf")
+            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    wide = th.groupBy("doc_id").agg(*aggs)
+    packed = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed + bit
+    return wide.select("doc_id", packed.alias("simhash"))
 
 
 def embedding_neardup_pairs(embeddings, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95):

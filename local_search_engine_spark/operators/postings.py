@@ -75,57 +75,74 @@ def build_postings(
     )
 
     def encode_group(pdf):
+        """One call per (term_bucket, part_id) — NOT per term. Grouping by
+        term would mean one Arrow slice + pandas frame + Python call per
+        vocabulary word (~ms each: pure fan-out overhead at millions of
+        terms). Instead each call gets a whole bucket-shard and encodes
+        every (term, block) run with vectorized run-boundary numpy; the
+        only per-output-row Python is a bytes slice."""
         import numpy as np
         import pandas as pd
 
-        from ..functions.codec import bm25_term_scores, encode_block
+        from ..functions.codec import bm25_term_scores, encode_vb_sliced
 
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
+        cols = [
+            "term",
+            "term_bucket",
+            "part_id",
+            "block_id",
+            "n",
+            "first_doc_id",
+            "last_doc_id",
+            "doc_ids_vb",
+            "tfs_vb",
+            "block_max_score",
+        ]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values(["term", "doc_id"])
         bucket = int(pdf["term_bucket"].iloc[0])
         part = int(pdf["part_id"].iloc[0])
-        idf = float(pdf["idf"].iloc[0])
+        terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["doc_len"].to_numpy(np.int64)
-        scores = bm25_term_scores(tfs, dls, idf, k1, b, avgdl)
+        idfs = pdf["idf"].to_numpy(np.float64)
+        scores = bm25_term_scores(tfs, dls, idfs, k1, b, avgdl)
         block_ids = doc_ids // span
-        out = []
-        for bid in np.unique(block_ids):
-            m = block_ids == bid
-            d, t, s = doc_ids[m], tfs[m], scores[m]
-            dvb, tvb = encode_block(d, t, block_base=int(bid) * span)
-            out.append(
-                (
-                    term,
-                    bucket,
-                    part,
-                    int(bid),
-                    int(d.size),
-                    int(d[0]),
-                    int(d[-1]),
-                    dvb,
-                    tvb,
-                    float(s.max()),
-                )
-            )
+        n = doc_ids.size
+        # run = maximal span of equal (term, block_id) — one output row each
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (terms[1:] != terms[:-1]) | (block_ids[1:] != block_ids[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], n)
+        # in-block deltas: first-of-run is offset from the block base; the
+        # rest are consecutive diffs (diffs across run boundaries are
+        # overwritten before the uint64 cast, so no negative wraparound)
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[0] = 0
+        deltas[1:] = np.diff(doc_ids)
+        deltas[run_starts] = doc_ids[run_starts] - block_ids[run_starts] * span
+        doc_vbs = encode_vb_sliced(deltas.astype(np.uint64), run_starts)
+        tf_vbs = encode_vb_sliced(tfs.astype(np.uint64), run_starts)
         return pd.DataFrame(
-            out,
-            columns=[
-                "term",
-                "term_bucket",
-                "part_id",
-                "block_id",
-                "n",
-                "first_doc_id",
-                "last_doc_id",
-                "doc_ids_vb",
-                "tfs_vb",
-                "block_max_score",
-            ],
+            {
+                "term": terms[run_starts],
+                "term_bucket": bucket,
+                "part_id": part,
+                "block_id": block_ids[run_starts],
+                "n": (run_ends - run_starts).astype(np.int32),
+                "first_doc_id": doc_ids[run_starts],
+                "last_doc_id": doc_ids[run_ends - 1],
+                "doc_ids_vb": doc_vbs,
+                "tfs_vb": tf_vbs,
+                "block_max_score": np.maximum.reduceat(scores, run_starts),
+            },
+            columns=cols,
         )
 
-    postings = joined.groupBy("term_bucket", "term", "part_id").applyInPandas(
+    postings = joined.groupBy("term_bucket", "part_id").applyInPandas(
         encode_group, POSTINGS_SCHEMA
     )
 

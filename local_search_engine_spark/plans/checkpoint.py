@@ -173,17 +173,25 @@ def build_persisted_index(
         for g in (only_groups if only_groups is not None else range(n_groups))
         if not man.done(f"postings/group={g}", fp)
     ]
+    group_rows: dict[int, int] = {}
     if groups:
         # materialize the encode stage once; group writes just filter it
         postings = postings.persist()
+        # all per-group posting-block counts in ONE job (vs a re-read +
+        # count per group, which costs a full extra job each)
+        for r in (
+            postings.groupBy(F.pmod(F.col("part_id"), F.lit(n_groups)).alias("g"))
+            .count()
+            .collect()
+        ):
+            group_rows[int(r["g"])] = int(r["count"])
     for g in groups:
         gdir = os.path.join(index_dir, "postings", f"group={g}")
 
         def write_group(g=g, gdir=gdir):
             part = postings.filter(F.pmod(F.col("part_id"), F.lit(n_groups)) == g)
             part.write.mode("overwrite").parquet(gdir)
-            n = spark.read.parquet(gdir).count()
-            return {"rows": n, "group": g}
+            return {"rows": group_rows.get(g, 0), "group": g}
 
         stage(f"postings/group={g}", write_group)
 

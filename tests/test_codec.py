@@ -86,3 +86,28 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_vb_sliced_matches_per_run():
+    import numpy as np
+
+    from local_search_engine_spark.functions.codec import encode_vb, encode_vb_sliced
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n_runs = int(rng.integers(1, 12))
+        runs = [
+            rng.integers(0, 2**int(rng.integers(1, 63)), size=int(rng.integers(0, 9)))
+            for _ in range(n_runs)
+        ]
+        values = np.concatenate([r.astype(np.uint64) for r in runs]) if any(
+            r.size for r in runs
+        ) else np.empty(0, np.uint64)
+        starts, pos = [], 0
+        for r in runs:
+            starts.append(pos)
+            pos += r.size
+        got = encode_vb_sliced(values, np.asarray(starts))
+        want = [encode_vb(r.astype(np.uint64)) for r in runs]
+        # trailing empty runs collapse identically to b""
+        assert got == want
