@@ -169,6 +169,11 @@ DECAY_NOW = "2024-02-01"
 DECAY_RATE = 0.95
 ANN_K = 10
 ANN_LSH_BITS = 4  # 2^4 buckets over ~500 vecs => ~31 candidates/bucket
+CHUNK_SIZE = 120
+CHUNK_OVERLAP = 20
+SC_K, SC_WD, SC_WS = 50, 0.6, 0.4
+SPELL_TOKENS = ["merg", "window", "query", "tabel", "zzzznotaterm"]
+SPELL_MAX_D = 1
 
 
 # ---------------------------------------------------------------------------
@@ -468,6 +473,75 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.chunking import chunk_docs
+
+    out = chunk_docs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "start_char",
+        "end_char",
+        "chunk_text",
+    )
+
+
+def q_score_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/F10 normalized score blend of the BM25 ranker and the cosine
+    ranker over the shared integer id domain, re-ranked on rounded
+    combined scores (the cross-engine rank-stability rule)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    idx = _index(spark, sf_dir)
+    sparse = score_all(idx, RRF_QUERY).select(F.col("doc_id").alias("id"), "score")
+    qv = _q_vec(spark, sf_dir, 0)
+    dense = (
+        SIM.cosine_scores(_emb(spark, sf_dir), qv)
+        .filter(F.col("id") != 0)
+        .select("id", F.col("cosine").alias("score"))
+    )
+    comb = FU.score_combine(dense, sparse, w_dense=SC_WD, w_sparse=SC_WS)
+    w = Window.orderBy(F.desc("combined"), F.asc("id"))
+    return (
+        comb.withColumn("combined", F.round("combined", 6))
+        .withColumn("combined_rank", F.row_number().over(w))
+        .filter(F.col("combined_rank") <= SC_K)
+        .select(
+            "combined_rank",
+            "id",
+            F.round("norm_d", 6).alias("norm_d"),
+            F.round("norm_s", 6).alias("norm_s"),
+            "combined",
+        )
+    )
+
+
+def q_results_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _index(spark, sf_dir)
+    top = _ranked_topk(score_all(idx, Q_MULTI), 50)
+    out = FU.results_by_source(top, _docs(spark, sf_dir), group_cols=("lang", "source"))
+    return out.select(
+        "lang", "source", "n_hits", F.round("best_score", 6).alias("best_score"),
+        "doc_ids_by_rank",
+    )
+
+
+def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from local_search_engine_spark.operators.spell import correct_tokens
+
+    idx = _index(spark, sf_dir)
+    vocab = idx.idf.select("term", "df")
+    return correct_tokens(vocab, SPELL_TOKENS, max_d=SPELL_MAX_D)
+
+
 def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (reference retriever.py:268-310 as
     merge algebra): build over even doc_ids, merge odd doc_ids in, and
@@ -529,6 +603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal,
         "multimodal_frame_sample": q_frame_sample,
         "index_merge_incremental": q_index_merge,
+        "chunk_split": q_chunk_split,
+        "score_combine": q_score_combine,
+        "results_by_source": q_results_by_source,
+        "spell_correct": q_spell_correct,
     }
 
 
@@ -542,6 +620,10 @@ def oracle_sql() -> dict[str, str]:
         batch_sqls.append(
             f"SELECT {qid} AS query_id, rank, doc_id, score FROM ({_bm25_sql(text, k)})"
         )
+    sc_vals = ", ".join(
+        f"('{t}', {c})" for t, c in sorted(Counter(tokenize_py(RRF_QUERY)).items())
+    )
+    spell_vals = ", ".join(f"('{t}')" for t in SPELL_TOKENS)
     stop_list = ", ".join(f"'{s}'" for s in TS.STOPWORDS)
     lang_vals = ", ".join(
         "('{}', [{}])".format(lang, ", ".join(f"'{m}'" for m in TS.LANG_MARKERS[lang]))
@@ -785,5 +867,70 @@ FROM documents, unnest(range(0, {_MM_FRAMES}, 4)) t(f)
         "index_merge_incremental": f"""
 WITH {_BM25_CTES}
 SELECT term, df, round(idf, 6) AS idf FROM idf
+""",
+        "chunk_split": f"""
+SELECT doc_id, i::int AS chunk_id,
+       (i * {CHUNK_SIZE - CHUNK_OVERLAP})::bigint AS start_char,
+       least(i * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, length(text))::bigint AS end_char,
+       substr(text, i * {CHUNK_SIZE - CHUNK_OVERLAP} + 1, {CHUNK_SIZE}) AS chunk_text
+FROM documents,
+     unnest(range(greatest(1, ceil((length(text) - {CHUNK_OVERLAP})
+                                   / {float(CHUNK_SIZE - CHUNK_OVERLAP)}))::bigint)) t(i)
+WHERE length(text) > 0
+""",
+        "score_combine": f"""
+WITH {_BM25_CTES},
+q(term, qtf) AS (VALUES {sc_vals}),
+contrib AS (
+  SELECT tf.doc_id,
+         idf.idf * q.qtf * tf.tf * {BM25_K1 + 1.0}
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len
+                                    / (SELECT avgdl FROM stats))) AS c
+  FROM tf JOIN q USING (term) JOIN idf USING (term) JOIN dl USING (doc_id)),
+sparse AS (SELECT doc_id AS id, sum(c) AS score FROM contrib GROUP BY 1),
+ev AS (SELECT vec_id, i, embedding[i]::double AS v
+       FROM embeddings, range(1, 65) t(i)),
+qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM qv),
+dots AS (SELECT ev.vec_id, sum(ev.v * qv.v) AS d, sum(ev.v * ev.v) AS n2
+         FROM ev JOIN qv USING (i) WHERE ev.vec_id <> 0 GROUP BY 1),
+dense AS (SELECT vec_id AS id, d / (sqrt(n2) * (SELECT n FROM qn)) AS score FROM dots),
+md AS (SELECT max(score) AS m FROM dense),
+ms AS (SELECT max(score) AS m FROM sparse),
+nd AS (SELECT id, CASE WHEN (SELECT m FROM md) > 0
+                       THEN score / (SELECT m FROM md) ELSE 0.0 END AS norm_d FROM dense),
+ns AS (SELECT id, CASE WHEN (SELECT m FROM ms) > 0
+                       THEN score / (SELECT m FROM ms) ELSE 0.0 END AS norm_s FROM sparse),
+joined AS (SELECT coalesce(nd.id, ns.id) AS id,
+                  coalesce(norm_d, 0.0) AS norm_d, coalesce(norm_s, 0.0) AS norm_s
+           FROM nd FULL OUTER JOIN ns ON nd.id = ns.id),
+scored AS (SELECT id, norm_d, norm_s,
+                  round({SC_WD} * norm_d + {SC_WS} * norm_s, 6) AS combined FROM joined)
+SELECT combined_rank, id, round(norm_d, 6) AS norm_d, round(norm_s, 6) AS norm_s, combined
+FROM (SELECT row_number() OVER (ORDER BY combined DESC, id)::int AS combined_rank, *
+      FROM scored)
+WHERE combined_rank <= {SC_K}
+""",
+        "results_by_source": f"""
+SELECT d.lang, d.source, count(*)::bigint AS n_hits,
+       round(max(t.score), 6) AS best_score,
+       string_agg(t.doc_id::varchar, ',' ORDER BY t.rank) AS doc_ids_by_rank
+FROM ({_bm25_sql(Q_MULTI, 50)}) t JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+""",
+        "spell_correct": f"""
+WITH {_BM25_CTES},
+q(token) AS (VALUES {spell_vals}),
+cand AS (SELECT q.token, d.term, d.df, levenshtein(q.token, d.term) AS dist
+         FROM q CROSS JOIN dfreq d),
+best AS (SELECT token, term, df, dist,
+                row_number() OVER (PARTITION BY token ORDER BY dist, df DESC, term) AS rn
+         FROM cand WHERE dist <= {SPELL_MAX_D})
+SELECT q.token,
+       coalesce(b.term, q.token) AS corrected,
+       coalesce(b.dist, -1)::int AS distance,
+       coalesce(b.df, 0)::bigint AS df,
+       (b.term IS NOT NULL) AS matched
+FROM q LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (token)
 """,
     }

@@ -50,24 +50,70 @@ class InvertedIndex:
     postings: object | None = None  # compressed blocks (operators/postings.py)
 
 
-def with_doc_ids(corpus):
-    """Deterministic doc_id: row_number over ORDER BY (repo, path, commit),
-    0-based — the identity contract shared with the oracle (SURVEY.md §7.2).
+def with_doc_ids(corpus, partitions: int | None = None):
+    """Deterministic doc_id = 0-based global rank by the unique corpus
+    key (repo, path, commit) — the identity contract shared with the
+    oracle (SURVEY.md §7.2) — computed scalably:
 
-    Scale note: a global row_number is a single-partition sort. Fine at
-    bench SFs; at 10^12-file scale assign ids per partition from a sorted
-    write: sortWithinPartitions + per-partition offsets via a count pass
-    (zipWithIndex-style), which preserves the same canonical order without
-    a global sort bottleneck. The canonical ORDER BY is the contract; the
-    physical strategy is swappable.
+      range-shuffle on the key into P ordered partitions
+        → sortWithinPartitions(key)
+        → persist  (pins the partitioning: the offset pass and the main
+           pass must see identical partition boundaries — range sampling
+           must not re-run per action)
+        → one tokenize-free count-per-partition job → driver prefix sums
+        → mapInPandas enumeration: doc_id = partition offset + local row
+           position (Arrow batches arrive in partition order).
+
+    The v0 shape — row_number() over a global ORDER BY window — funneled
+    every byte of content through ONE task and left the result
+    single-partitioned, serializing tokenization downstream (measured:
+    index build speedup 8→32 cores was 1.3× before, because the only
+    parallel stages were post-shuffle aggregations). Rank arithmetic
+    here is boundary-independent: any disjoint ordered ranges give the
+    same global rank, since within-partition order + prefix offsets
+    reconstruct the total order.
     """
-    from pyspark.sql import Window
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    w = Window.orderBy("repo", "path", "commit")
-    return corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256)).withColumn(
-        "doc_id", (F.row_number().over(w) - 1).cast("long")
+    spark = corpus.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = ["repo", "path", "commit"]
+    d = (
+        corpus.repartitionByRange(partitions, *key)
+        .sortWithinPartitions(*key)
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_fields = [f for f in d.schema.fields if f.name != "_pid"]
+    out_schema = T.StructType(out_fields + [T.StructField("doc_id", T.LongType())])
+
+    def assign(batches):
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield pdf
+
+    return d.mapInPandas(assign, out_schema)
 
 
 def tokenized_docs(docs, text_col: str = "content", use_pandas_udf: bool = False):
@@ -147,19 +193,36 @@ def build_index_from(
     """Index build over ANY table that already carries a unique doc_id
     bigint column + a text column (e.g. the testdata `documents` table).
     The InvertedIndex.docs keeps every input column except the raw text
-    and tokens (column pruning — content is never carried past here)."""
+    and tokens (column pruning — content is never carried past here).
+
+    Tokenization happens exactly ONCE: the only consumer of the token
+    arrays is the tf aggregation. doc_len is recovered as sum(tf) per doc
+    (identical to size(tokens) by construction — tf counts every kept
+    token), and the docs side-table is a tokenize-free projection
+    (sha256 + metadata) left-joined to it, doc_len 0 for token-less docs.
+    This matters at scale: token arrays are ~the corpus size again and
+    are never cached or re-derived; the old shape re-tokenized the
+    corpus once per downstream action."""
     from pyspark.sql import functions as F
 
     params = params or BM25Params()
     tok = tokenized_docs(docs_with_id, text_col=text_col, use_pandas_udf=use_pandas_udf)
-    if "content_sha256" not in tok.columns:
-        tok = tok.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
-    docs = tok.drop(text_col, "tokens")
     tf = term_frequencies(tok)
     if cache:
-        docs = docs.cache()
         tf = tf.cache()
-    n_docs, avgdl = corpus_stats(tok)
+    meta = docs_with_id
+    if "content_sha256" not in meta.columns:
+        meta = meta.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+    doc_lens = tf.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doc_len"))
+    docs = (
+        meta.drop(text_col)
+        .join(doc_lens, "doc_id", "left")
+        .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+    )
+    if cache:
+        docs = docs.cache()
+    row = docs.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")).first()
+    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"] or 0.0)
     idf, avg_idf = idf_table(doc_freqs(tf), n_docs, params.epsilon)
     if cache:
         idf = idf.cache()

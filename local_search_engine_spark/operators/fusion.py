@@ -56,6 +56,70 @@ def rrf_fuse(dense, sparse, k_fusion: int = 50, w_dense: float = 0.5, w_sparse: 
     return out.select("fused_rank", "id", "rank_d", "rank_s", "rrf_score")
 
 
+def score_combine(dense, sparse, w_dense: float = 0.5, w_sparse: float = 0.5, topk: int | None = None):
+    """J2/F10: normalized score-combination join (reference
+    _combine_scores, retriever.py:684-717): each side's scores are
+    max-normalized (score / max(score), reference :692-708), the sides
+    are full-outer joined on id with 0.0 defaults for missing entries
+    (:689), and blended w_d * nd + w_s * ns.
+
+    Inputs: (id, score) DataFrames. The max is a scalar aggregate
+    broadcast into the projection — no window shuffle. Non-positive or
+    absent maxima leave that side's scores 0 (degenerate-corpus guard).
+    Output: (combined_rank, id, norm_d, norm_s, combined) with the pinned
+    (score DESC, id ASC) tie-break.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def norm_side(df, out_col):
+        mx = df.agg(F.max("score")).first()[0]
+        mx = float(mx) if mx is not None and mx > 0 else None
+        col = (F.col("score") / F.lit(mx)) if mx else F.lit(0.0)
+        return df.select(F.col("id"), col.alias(out_col))
+
+    d = norm_side(dense, "norm_d")
+    s = norm_side(sparse, "norm_s")
+    joined = d.join(s, "id", "full_outer").select(
+        "id",
+        F.coalesce("norm_d", F.lit(0.0)).alias("norm_d"),
+        F.coalesce("norm_s", F.lit(0.0)).alias("norm_s"),
+    )
+    out = joined.withColumn(
+        "combined",
+        F.lit(w_dense) * F.col("norm_d") + F.lit(w_sparse) * F.col("norm_s"),
+    )
+    w = Window.orderBy(F.desc("combined"), F.asc("id"))
+    out = out.withColumn("combined_rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("combined_rank") <= topk)
+    return out.select("combined_rank", "id", "norm_d", "norm_s", "combined")
+
+
+def results_by_source(results, docs, group_cols=("lang", "source"), id_col: str = "doc_id"):
+    """A9: group result rows by their source document attributes
+    (reference ui.py:408-412 groups hits into Dict[source -> list]).
+
+    results: (doc_id, score, ...) — joined to docs on doc_id (broadcast:
+    the results side is top-k small), grouped by group_cols, hits packed
+    as an ascending-(rank) csv with count + best score per group.
+    """
+    from pyspark.sql import functions as F
+
+    joined = results.join(docs.select(id_col, *group_cols), id_col)
+    return joined.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.max("score").alias("best_score"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", F.col(id_col).alias("id")))),
+                lambda x: x["id"].cast("string"),
+            ),
+        ).alias("doc_ids_by_rank"),
+    )
+
+
 def temporal_filter(df, ts_col: str, start=None, end=None):
     """P7 strict temporal predicate (reference retriever.py:1046-1052) —
     a plain pushdown-able filter, not a join."""

@@ -30,9 +30,15 @@ from collections import Counter
 from ..functions.tokenize import tokenize_py
 
 
-def make_wand_topk(index, postings, shard_meta, block_span: int | None = None):
+def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n_buckets: int | None = None):
     """Bind a compressed index (operators/postings.py output) to a query
     function: query(text, k, prune=True) → DataFrame(rank, doc_id, score).
+
+    n_buckets: pass the index's bucket count when postings come from a
+    persisted index written partitionBy("term_bucket") — the query then
+    adds term_bucket literals (computed by a tiny driver-side job, ≤|q|
+    rows) so the Parquet scan prunes whole bucket directories instead of
+    reading the full index.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -49,7 +55,19 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None):
         if not qtf or k <= 0:
             return spark.createDataFrame([], "rank int, doc_id long, score double")
         terms = list(qtf)
-        matched = postings.filter(F.col("term").isin(terms)).join(
+        scan = postings
+        if n_buckets and "term_bucket" in postings.columns:
+            buckets = [
+                int(r["b"])
+                for r in spark.createDataFrame([(t,) for t in terms], "term string")
+                .select(
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            scan = scan.filter(F.col("term_bucket").isin(buckets))
+        matched = scan.filter(F.col("term").isin(terms)).join(
             F.broadcast(idf_small.filter(F.col("term").isin(terms))), "term"
         )
 

@@ -190,7 +190,11 @@ def build_persisted_index(
 
         def write_group(g=g, gdir=gdir):
             part = postings.filter(F.pmod(F.col("part_id"), F.lit(n_groups)) == g)
-            part.write.mode("overwrite").parquet(gdir)
+            # term_bucket as a physical partition column: a query's
+            # term-bucket literals prune whole directories at scan time
+            # (make_wand_topk n_buckets arg), then Parquet min/max stats
+            # on the sorted term column prune row groups within them
+            part.write.mode("overwrite").partitionBy("term_bucket").parquet(gdir)
             return {"rows": group_rows.get(g, 0), "group": g}
 
         stage(f"postings/group={g}", write_group)

@@ -1,0 +1,167 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N executors).
+
+No real multi-node cluster exists in this sandbox, so — per the driver
+instruction — the two-cluster-size criterion is evidenced by running the
+SAME index-build job at two local parallelism levels (local[8] vs
+local[32], shuffle partitions matched to cores) on the SAME deterministic
+input, and reporting throughput at both plus
+
+    efficiency = speedup / (core ratio) = (T_N / T_4N) / 4.
+
+Methodology notes (also recorded in BENCH/BASELINE.md):
+  * each level runs in its own subprocess → fresh JVM, no cache sharing;
+  * a small warmup build runs first inside each session so JIT/codegen
+    compilation is excluded from the timed region (it is a constant,
+    not data-parallel work, and on a real cluster is amortized across
+    hours of executor lifetime);
+  * the timed region is the full persisted index build: tokenize → tf →
+    df/idf (two-pass epsilon floor) → doc-range-sharded compressed
+    block-max postings → manifest-checkpointed parquet writes.
+
+Usage:
+  python scripts/bench_scaling.py [--rows 40000] [--levels 8,32]
+  (internal) python scripts/bench_scaling.py --single --cores 8 --corpus DIR --index DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_single(cores: int, corpus_dir: str, index_dir: str, rows: int) -> None:
+    from local_search_engine_spark.operators.build import BM25Params
+    from local_search_engine_spark.plans.checkpoint import build_persisted_index
+    from local_search_engine_spark.session import get_spark
+    from local_search_engine_spark.sources.corpus import gen_corpus_spark, read_corpus
+
+    spark = get_spark(f"bench-scaling-{cores}", cores=cores, shuffle_partitions=cores)
+    # JIT/codegen warmup on a tiny build (untimed, separate output dir)
+    warm_dir = index_dir + ".warmup"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_persisted_index(
+        spark, gen_corpus_spark(spark, 200), warm_dir, docs_per_shard=100, n_groups=2
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    corpus = read_corpus(spark, corpus_dir, "parquet")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    build_persisted_index(
+        spark,
+        corpus,
+        index_dir,
+        params=BM25Params(),
+        docs_per_shard=4096,
+        n_buckets=64,
+        n_groups=4,
+    )
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "rows": rows,
+                "build_wall_sec": round(wall, 2),
+                "docs_per_sec": round(rows / wall, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=40_000)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="runs per level; min wall is used (least-contended run)")
+    ap.add_argument("--workdir", default="/tmp/lse_scaling")
+    ap.add_argument("--single", action="store_true")
+    ap.add_argument("--cores", type=int)
+    ap.add_argument("--corpus")
+    ap.add_argument("--index")
+    args = ap.parse_args()
+
+    if args.single:
+        run_single(args.cores, args.corpus, args.index, args.rows)
+        return
+
+    levels = sorted(int(x) for x in args.levels.split(","))
+    os.makedirs(args.workdir, exist_ok=True)
+    corpus_dir = os.path.join(args.workdir, f"corpus_{args.rows}")
+
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        from local_search_engine_spark.session import get_spark
+        from local_search_engine_spark.sources.corpus import write_corpus
+
+        spark = get_spark("gen-scaling-corpus", cores=max(levels))
+        write_corpus(spark, args.rows, corpus_dir)
+        spark.stop()
+
+    results = []
+    for cores in levels:
+        runs = []
+        for rep in range(args.repeat):
+            index_dir = os.path.join(args.workdir, f"index_c{cores}")
+            shutil.rmtree(index_dir, ignore_errors=True)
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--single",
+                    "--cores",
+                    str(cores),
+                    "--corpus",
+                    corpus_dir,
+                    "--index",
+                    index_dir,
+                    "--rows",
+                    str(args.rows),
+                ],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            runs.append(json.loads(line))
+            print(line, flush=True)
+        best = min(runs, key=lambda r: r["build_wall_sec"])
+        best["all_walls_sec"] = [r["build_wall_sec"] for r in runs]
+        results.append(best)
+
+    pairs = []
+    for lo, hi in zip(results, results[1:]):
+        ratio = hi["cores"] / lo["cores"]
+        speedup = lo["build_wall_sec"] / hi["build_wall_sec"]
+        pairs.append(
+            {
+                "from_cores": lo["cores"],
+                "to_cores": hi["cores"],
+                "core_ratio": ratio,
+                "speedup": round(speedup, 3),
+                "efficiency": round(speedup / ratio, 3),
+            }
+        )
+    summary = {
+        "metric": "index_build_scaling_efficiency",
+        "rows": args.rows,
+        "levels": results,
+        "pairs": pairs,
+    }
+    print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,13 @@ def main() -> None:
     idx, postings, shard_meta, stats = load_index(spark, args.index)
     postings = postings.cache()
     shard_meta = shard_meta.cache()
-    wand = make_wand_topk(idx, postings, shard_meta, block_span=stats["block_span"])
+    wand = make_wand_topk(
+        idx,
+        postings,
+        shard_meta,
+        block_span=stats["block_span"],
+        n_buckets=stats.get("n_buckets"),
+    )
 
     queries = (
         [(0, args.query, args.k)]
