@@ -542,6 +542,40 @@ def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correct_tokens(vocab, SPELL_TOKENS, max_d=SPELL_MAX_D)
 
 
+def q_phrase_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: cite top results whose >20-char '.'-phrases appear in the
+    answer text; the answer is deterministically derived from the top-2
+    results' texts (so citations are guaranteed non-empty and both
+    engines construct the identical answer)."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.citations import phrase_citations
+
+    idx = _index(spark, sf_dir)
+    top = _ranked_topk(score_all(idx, Q_MULTI), 5)
+    topt = top.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    ans_rows = topt.filter("rank <= 2").orderBy("rank").select("text").collect()
+    answer = " ".join(r["text"] for r in ans_rows)
+    out = phrase_citations(topt, answer)
+    return out.select("doc_id", "rank", "score", "n_matching_phrases")
+
+
+def q_iteration_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    idx = _index(spark, sf_dir)
+    it1 = _ranked_topk(score_all(idx, Q_MULTI), 20).select(
+        F.col("doc_id").alias("id"), "score"
+    )
+    it2 = _ranked_topk(score_all(idx, Q_HOT), 20).select(
+        F.col("doc_id").alias("id"), "score"
+    )
+    out = FU.accumulate_iterations([(1, it1), (2, it2)])
+    return out.select(
+        "id", "score", "first_iteration", "iterations_csv", "n_iterations"
+    )
+
+
 def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (reference retriever.py:268-310 as
     merge algebra): build over even doc_ids, merge odd doc_ids in, and
@@ -607,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_combine": q_score_combine,
         "results_by_source": q_results_by_source,
         "spell_correct": q_spell_correct,
+        "phrase_citations": q_phrase_citations,
+        "iteration_accumulate": q_iteration_accumulate,
     }
 
 
@@ -932,5 +968,28 @@ SELECT q.token,
        coalesce(b.df, 0)::bigint AS df,
        (b.term IS NOT NULL) AS matched
 FROM q LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (token)
+""",
+        "phrase_citations": f"""
+WITH j AS (SELECT t.rank, t.doc_id, t.score, d.text
+           FROM ({_bm25_sql(Q_MULTI, 5)}) t JOIN documents d USING (doc_id)),
+ans AS (SELECT lower(string_agg(text, ' ' ORDER BY rank)) AS a FROM j WHERE rank <= 2),
+ph AS (SELECT doc_id, rank, score, trim(p) AS phrase
+       FROM j, unnest(string_split(text, '.')) u(p)),
+sig AS (SELECT * FROM ph WHERE length(phrase) >= 21),
+hits AS (SELECT * FROM sig WHERE strpos((SELECT a FROM ans), lower(phrase)) > 0)
+SELECT doc_id, rank, score, count(*)::bigint AS n_matching_phrases
+FROM hits GROUP BY 1, 2, 3
+""",
+        "iteration_accumulate": f"""
+WITH i1 AS (SELECT doc_id AS id, score, 1 AS iteration FROM ({_bm25_sql(Q_MULTI, 20)})),
+i2 AS (SELECT doc_id AS id, score, 2 AS iteration FROM ({_bm25_sql(Q_HOT, 20)})),
+u AS (SELECT * FROM i1 UNION ALL SELECT * FROM i2),
+r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY iteration) AS rn FROM u)
+SELECT id,
+       max(CASE WHEN rn = 1 THEN score END) AS score,
+       min(iteration)::int AS first_iteration,
+       string_agg(iteration::varchar, ',' ORDER BY iteration) AS iterations_csv,
+       count(*)::bigint AS n_iterations
+FROM r GROUP BY id
 """,
     }

@@ -29,6 +29,12 @@ from .. import BM25_B, BM25_EPSILON, BM25_K1
 from ..functions.tokenize import tokenize_expr, tokenize_udf
 
 
+# Broadcast the doc_id table when the corpus has at most this many rows
+# (~100 B/row of key strings → ≤ ~200 MB broadcast). Above it, the id
+# join is a key-shuffle join.
+BROADCAST_IDS_MAX_ROWS = 2_000_000
+
+
 @dataclass
 class BM25Params:
     k1: float = BM25_K1  # BASELINE.json pins 1.2 (rank_bm25 default is 1.5)
@@ -72,6 +78,16 @@ def with_doc_ids(corpus, partitions: int | None = None):
     here is boundary-independent: any disjoint ordered ranges give the
     same global rank, since within-partition order + prefix offsets
     reconstruct the total order.
+
+    Only the KEY COLUMNS flow through the rank machinery (and through
+    Python): ids are computed over a (repo, path, commit) projection —
+    Parquet column pruning keeps content out of that scan entirely —
+    and joined back to the corpus JVM-side. Shipping full rows (content
+    included) through the mapInPandas enumeration measured ~2x SLOWER
+    at 8 executors than at 2: the Arrow round trip of the content
+    column was the whole cost, and it anti-scaled. The keys-only rank
+    is also what survives 10^12 files — the persisted rank state is
+    keys, not corpus.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -81,16 +97,16 @@ def with_doc_ids(corpus, partitions: int | None = None):
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     key = ["repo", "path", "commit"]
-    d = (
-        corpus.repartitionByRange(partitions, *key)
+    k = (
+        corpus.select(*key)
+        .repartitionByRange(partitions, *key)
         .sortWithinPartitions(*key)
-        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = {
         int(r["_pid"]): int(r["n"])
-        for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        for r in k.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
@@ -98,7 +114,7 @@ def with_doc_ids(corpus, partitions: int | None = None):
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_fields = [f for f in d.schema.fields if f.name != "_pid"]
+    out_fields = [f for f in k.schema.fields if f.name != "_pid"]
     out_schema = T.StructType(out_fields + [T.StructField("doc_id", T.LongType())])
 
     def assign(batches):
@@ -113,7 +129,17 @@ def with_doc_ids(corpus, partitions: int | None = None):
             pos += len(pdf)
             yield pdf
 
-    return d.mapInPandas(assign, out_schema)
+    ids = k.mapInPandas(assign, out_schema)
+    # acc (total docs) is already known exactly — broadcast the id table
+    # outright when it is small so the CONTENT never shuffles: tokenize
+    # then runs straight off the (column-pruned) source scan at full
+    # width. Past the threshold this is a sort-merge join on the key —
+    # the same cost class as the range shuffle, and cluster-scalable.
+    if acc <= BROADCAST_IDS_MAX_ROWS:
+        ids = F.broadcast(ids)
+    return corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256)).join(
+        ids, key
+    )
 
 
 def tokenized_docs(docs, text_col: str = "content", use_pandas_udf: bool = False):

