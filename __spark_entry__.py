@@ -576,6 +576,77 @@ def q_iteration_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_final_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/T5: the reference's full final-selection blend over the
+    score_combine domain, every input metric rounded to 6 dp in BOTH
+    engines before blending (deterministic ranks). llm_confidence is the
+    documented 0.5 stub (the LLM is out of engine scope, SURVEY.md W6);
+    consistency comes from the two-iteration accumulate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.fusion import final_selection
+
+    comb = q_score_combine(spark, sf_dir).select(
+        "id", F.col("combined").alias("retrieval_score")
+    )
+    qv = _q_vec(spark, sf_dir, 0)
+    sem = SIM.cosine_scores(_emb(spark, sf_dir), qv).select(
+        "id", F.round("cosine", 6).alias("semantic_relevance")
+    )
+    qual = TS.quality_scores(_docs(spark, sf_dir), "text", "doc_id").select(
+        F.col("doc_id").alias("id"), F.round("quality", 6).alias("text_quality")
+    )
+    kw = TS.keyword_match(
+        _docs(spark, sf_dir), tokenize_py(RRF_QUERY), "text", "doc_id"
+    ).select(F.col("doc_id").alias("id"), F.round("keyword_match", 6).alias("keyword_match"))
+    acc = q_iteration_accumulate(spark, sf_dir).select(
+        "id", F.col("n_iterations").cast("int").alias("n_iterations_found")
+    )
+    metrics = (
+        comb.join(sem, "id", "left")
+        .join(qual, "id", "left")
+        .join(kw, "id", "left")
+        .join(acc, "id", "left")
+        .withColumn("llm_confidence", F.lit(0.5))
+    )
+    out = final_selection(metrics, n_iterations=2, top_k=60)
+    w = Window.orderBy(F.desc("total_score"), F.asc("id"))
+    return (
+        out.withColumn("total_score", F.round("total_score", 6))
+        .withColumn("objective_score", F.round("objective_score", 6))
+        .withColumn("subjective_score", F.round("subjective_score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "id", "total_score", "objective_score", "subjective_score")
+    )
+
+
+def q_answer_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.citations import (
+        answer_confidence,
+        phrase_citations,
+    )
+
+    idx = _index(spark, sf_dir)
+    top = _ranked_topk(score_all(idx, Q_MULTI), 5)
+    topt = top.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+    ans_rows = topt.filter("rank <= 2").orderBy("rank").select("text").collect()
+    answer = " ".join(r["text"] for r in ans_rows)
+    cit = phrase_citations(topt, answer)
+    out = answer_confidence(top, cit)
+    return out.select(
+        "n_results",
+        "n_citations",
+        F.round("citation_coverage", 6).alias("citation_coverage"),
+        F.round("result_scores", 6).alias("result_scores"),
+        F.round("citation_scores", 6).alias("citation_scores"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
 def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (reference retriever.py:268-310 as
     merge algebra): build over even doc_ids, merge odd doc_ids in, and
@@ -643,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_correct": q_spell_correct,
         "phrase_citations": q_phrase_citations,
         "iteration_accumulate": q_iteration_accumulate,
+        "final_selection": q_final_selection,
+        "answer_confidence": q_answer_confidence,
     }
 
 
@@ -665,6 +738,73 @@ def oracle_sql() -> dict[str, str]:
         "('{}', [{}])".format(lang, ", ".join(f"'{m}'" for m in TS.LANG_MARKERS[lang]))
         for lang in sorted(TS.LANG_MARKERS)
     )
+    quality_sql = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+        CASE WHEN len(toks) > 0
+             THEN len(list_distinct(toks))::double / len(toks) ELSE 0.0 END AS unique_ratio,
+        CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains([{stop_list}], x)))::double / len(toks)
+             ELSE 0.0 END AS stop_ratio,
+        CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / length(text)
+             ELSE 0.0 END AS alpha_ratio,
+        least(1.0, len(toks) / 100.0) AS len_score
+      FROM tok)
+SELECT doc_id,
+       round(unique_ratio, 6) AS unique_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(len_score, 6) AS len_score,
+       round(0.3 * unique_ratio + 0.2 * (1.0 - stop_ratio)
+             + 0.3 * alpha_ratio + 0.2 * len_score, 6) AS quality
+FROM m
+"""
+    score_combine_sql = f"""
+WITH {_BM25_CTES},
+q(term, qtf) AS (VALUES {sc_vals}),
+contrib AS (
+  SELECT tf.doc_id,
+         idf.idf * q.qtf * tf.tf * {BM25_K1 + 1.0}
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len
+                                    / (SELECT avgdl FROM stats))) AS c
+  FROM tf JOIN q USING (term) JOIN idf USING (term) JOIN dl USING (doc_id)),
+sparse AS (SELECT doc_id AS id, sum(c) AS score FROM contrib GROUP BY 1),
+ev AS (SELECT vec_id, i, embedding[i]::double AS v
+       FROM embeddings, range(1, 65) t(i)),
+qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM qv),
+dots AS (SELECT ev.vec_id, sum(ev.v * qv.v) AS d, sum(ev.v * ev.v) AS n2
+         FROM ev JOIN qv USING (i) WHERE ev.vec_id <> 0 GROUP BY 1),
+dense AS (SELECT vec_id AS id, d / (sqrt(n2) * (SELECT n FROM qn)) AS score FROM dots),
+md AS (SELECT max(score) AS m FROM dense),
+ms AS (SELECT max(score) AS m FROM sparse),
+nd AS (SELECT id, CASE WHEN (SELECT m FROM md) > 0
+                       THEN score / (SELECT m FROM md) ELSE 0.0 END AS norm_d FROM dense),
+ns AS (SELECT id, CASE WHEN (SELECT m FROM ms) > 0
+                       THEN score / (SELECT m FROM ms) ELSE 0.0 END AS norm_s FROM sparse),
+joined AS (SELECT coalesce(nd.id, ns.id) AS id,
+                  coalesce(norm_d, 0.0) AS norm_d, coalesce(norm_s, 0.0) AS norm_s
+           FROM nd FULL OUTER JOIN ns ON nd.id = ns.id),
+scored AS (SELECT id, norm_d, norm_s,
+                  round({SC_WD} * norm_d + {SC_WS} * norm_s, 6) AS combined FROM joined)
+SELECT combined_rank, id, round(norm_d, 6) AS norm_d, round(norm_s, 6) AS norm_s, combined
+FROM (SELECT row_number() OVER (ORDER BY combined DESC, id)::int AS combined_rank, *
+      FROM scored)
+WHERE combined_rank <= {SC_K}
+"""
+    iter_acc_sql = f"""
+WITH i1 AS (SELECT doc_id AS id, score, 1 AS iteration FROM ({_bm25_sql(Q_MULTI, 20)})),
+i2 AS (SELECT doc_id AS id, score, 2 AS iteration FROM ({_bm25_sql(Q_HOT, 20)})),
+u AS (SELECT * FROM i1 UNION ALL SELECT * FROM i2),
+r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY iteration) AS rn FROM u)
+SELECT id,
+       max(CASE WHEN rn = 1 THEN score END) AS score,
+       min(iteration)::int AS first_iteration,
+       string_agg(iteration::varchar, ',' ORDER BY iteration) AS iterations_csv,
+       count(*)::bigint AS n_iterations
+FROM r GROUP BY id
+"""
     return {
         "bm25_topk_hot": _bm25_sql(Q_HOT, 10),
         "bm25_topk_multi": _bm25_sql(Q_MULTI, 20),
@@ -824,28 +964,7 @@ SELECT doc_id,
        s::int AS marker_hits
 FROM best WHERE rn = 1
 """,
-        "text_quality": f"""
-WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-m AS (SELECT doc_id,
-        CASE WHEN len(toks) > 0
-             THEN len(list_distinct(toks))::double / len(toks) ELSE 0.0 END AS unique_ratio,
-        CASE WHEN len(toks) > 0
-             THEN len(list_filter(toks, x -> list_contains([{stop_list}], x)))::double / len(toks)
-             ELSE 0.0 END AS stop_ratio,
-        CASE WHEN length(text) > 0
-             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / length(text)
-             ELSE 0.0 END AS alpha_ratio,
-        least(1.0, len(toks) / 100.0) AS len_score
-      FROM tok)
-SELECT doc_id,
-       round(unique_ratio, 6) AS unique_ratio,
-       round(stop_ratio, 6) AS stop_ratio,
-       round(alpha_ratio, 6) AS alpha_ratio,
-       round(len_score, 6) AS len_score,
-       round(0.3 * unique_ratio + 0.2 * (1.0 - stop_ratio)
-             + 0.3 * alpha_ratio + 0.2 * len_score, 6) AS quality
-FROM m
-""",
+        "text_quality": quality_sql,
         "text_fingerprint": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 h AS (SELECT doc_id,
@@ -914,39 +1033,7 @@ FROM documents,
                                    / {float(CHUNK_SIZE - CHUNK_OVERLAP)}))::bigint)) t(i)
 WHERE length(text) > 0
 """,
-        "score_combine": f"""
-WITH {_BM25_CTES},
-q(term, qtf) AS (VALUES {sc_vals}),
-contrib AS (
-  SELECT tf.doc_id,
-         idf.idf * q.qtf * tf.tf * {BM25_K1 + 1.0}
-           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len
-                                    / (SELECT avgdl FROM stats))) AS c
-  FROM tf JOIN q USING (term) JOIN idf USING (term) JOIN dl USING (doc_id)),
-sparse AS (SELECT doc_id AS id, sum(c) AS score FROM contrib GROUP BY 1),
-ev AS (SELECT vec_id, i, embedding[i]::double AS v
-       FROM embeddings, range(1, 65) t(i)),
-qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
-qn AS (SELECT sqrt(sum(v * v)) AS n FROM qv),
-dots AS (SELECT ev.vec_id, sum(ev.v * qv.v) AS d, sum(ev.v * ev.v) AS n2
-         FROM ev JOIN qv USING (i) WHERE ev.vec_id <> 0 GROUP BY 1),
-dense AS (SELECT vec_id AS id, d / (sqrt(n2) * (SELECT n FROM qn)) AS score FROM dots),
-md AS (SELECT max(score) AS m FROM dense),
-ms AS (SELECT max(score) AS m FROM sparse),
-nd AS (SELECT id, CASE WHEN (SELECT m FROM md) > 0
-                       THEN score / (SELECT m FROM md) ELSE 0.0 END AS norm_d FROM dense),
-ns AS (SELECT id, CASE WHEN (SELECT m FROM ms) > 0
-                       THEN score / (SELECT m FROM ms) ELSE 0.0 END AS norm_s FROM sparse),
-joined AS (SELECT coalesce(nd.id, ns.id) AS id,
-                  coalesce(norm_d, 0.0) AS norm_d, coalesce(norm_s, 0.0) AS norm_s
-           FROM nd FULL OUTER JOIN ns ON nd.id = ns.id),
-scored AS (SELECT id, norm_d, norm_s,
-                  round({SC_WD} * norm_d + {SC_WS} * norm_s, 6) AS combined FROM joined)
-SELECT combined_rank, id, round(norm_d, 6) AS norm_d, round(norm_s, 6) AS norm_s, combined
-FROM (SELECT row_number() OVER (ORDER BY combined DESC, id)::int AS combined_rank, *
-      FROM scored)
-WHERE combined_rank <= {SC_K}
-""",
+        "score_combine": score_combine_sql,
         "results_by_source": f"""
 SELECT d.lang, d.source, count(*)::bigint AS n_hits,
        round(max(t.score), 6) AS best_score,
@@ -980,16 +1067,69 @@ hits AS (SELECT * FROM sig WHERE strpos((SELECT a FROM ans), lower(phrase)) > 0)
 SELECT doc_id, rank, score, count(*)::bigint AS n_matching_phrases
 FROM hits GROUP BY 1, 2, 3
 """,
-        "iteration_accumulate": f"""
-WITH i1 AS (SELECT doc_id AS id, score, 1 AS iteration FROM ({_bm25_sql(Q_MULTI, 20)})),
-i2 AS (SELECT doc_id AS id, score, 2 AS iteration FROM ({_bm25_sql(Q_HOT, 20)})),
-u AS (SELECT * FROM i1 UNION ALL SELECT * FROM i2),
-r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY iteration) AS rn FROM u)
-SELECT id,
-       max(CASE WHEN rn = 1 THEN score END) AS score,
-       min(iteration)::int AS first_iteration,
-       string_agg(iteration::varchar, ',' ORDER BY iteration) AS iterations_csv,
-       count(*)::bigint AS n_iterations
-FROM r GROUP BY id
+        "iteration_accumulate": iter_acc_sql,
+        "final_selection": f"""
+WITH sc AS (SELECT id, combined FROM ({score_combine_sql})),
+ev AS (SELECT vec_id, i, embedding[i]::double AS v
+       FROM embeddings, range(1, 65) t(i)),
+qv2 AS (SELECT i, v FROM ev WHERE vec_id = 0),
+qn2 AS (SELECT sqrt(sum(v * v)) AS n FROM qv2),
+dots2 AS (SELECT ev.vec_id, sum(ev.v * qv2.v) AS d, sum(ev.v * ev.v) AS n2
+          FROM ev JOIN qv2 USING (i) GROUP BY 1),
+sem AS (SELECT vec_id AS id, round(d / (sqrt(n2) * (SELECT n FROM qn2)), 6) AS s
+        FROM dots2),
+qual AS (SELECT doc_id AS id, quality FROM ({quality_sql})),
+tokq AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+kw AS (SELECT doc_id AS id,
+              round(len(list_intersect(list_distinct(toks), ['fast', 'join', 'merge', 'query']))::double
+                    / 4.0, 6) AS k
+       FROM tokq),
+acc AS (SELECT id, n_iterations FROM ({iter_acc_sql})),
+m AS (SELECT sc.id,
+             sc.combined AS r,
+             coalesce(sem.s, 0.0) AS s,
+             coalesce(qual.quality, 0.0) AS q,
+             coalesce(kw.k, 0.0) AS kw,
+             0.5 AS llm,
+             coalesce(acc.n_iterations, 0)::double / 2.0 AS cons
+      FROM sc LEFT JOIN sem ON sc.id = sem.id
+              LEFT JOIN qual ON sc.id = qual.id
+              LEFT JOIN kw ON sc.id = kw.id
+              LEFT JOIN acc ON sc.id = acc.id),
+b AS (SELECT id,
+             0.3 * r + 0.2 * s + 0.2 * q + 0.1 * kw AS obj,
+             0.1 * llm + 0.1 * cons AS subj
+      FROM m),
+t AS (SELECT id, round(obj + subj, 6) AS total_score,
+             round(obj, 6) AS objective_score, round(subj, 6) AS subjective_score
+      FROM b)
+SELECT rank, id, total_score, objective_score, subjective_score FROM (
+  SELECT row_number() OVER (ORDER BY total_score DESC, id)::int AS rank, * FROM t)
+WHERE rank <= 10
+""",
+        "answer_confidence": f"""
+WITH j AS (SELECT t.rank, t.doc_id, t.score, d.text
+           FROM ({_bm25_sql(Q_MULTI, 5)}) t JOIN documents d USING (doc_id)),
+ans AS (SELECT lower(string_agg(text, ' ' ORDER BY rank)) AS a FROM j WHERE rank <= 2),
+ph AS (SELECT doc_id, rank, score, trim(p) AS phrase
+       FROM j, unnest(string_split(text, '.')) u(p)),
+sig AS (SELECT * FROM ph WHERE length(phrase) >= 21),
+hits AS (SELECT * FROM sig WHERE strpos((SELECT a FROM ans), lower(phrase)) > 0),
+cit AS (SELECT doc_id, rank, score FROM hits GROUP BY 1, 2, 3),
+r AS (SELECT count(*)::int AS n,
+             coalesce(sum(CASE WHEN rank <= 5 THEN score END), 0.0) AS s FROM j),
+c AS (SELECT count(*)::int AS n, avg(score) AS avg_s FROM cit),
+f AS (SELECT (SELECT n FROM r) AS n_results,
+             (SELECT n FROM c) AS n_citations,
+             (SELECT n FROM c)::double / least((SELECT n FROM r), 5) AS cov,
+             (SELECT s FROM r) / 5.0 AS rs,
+             CASE WHEN (SELECT n FROM c) > 0 THEN (SELECT avg_s FROM c)
+                  ELSE 0.0 END AS cs)
+SELECT n_results, n_citations,
+       round(cov, 6) AS citation_coverage,
+       round(rs, 6) AS result_scores,
+       round(cs, 6) AS citation_scores,
+       round(least(greatest(0.4 * cov + 0.3 * rs + 0.3 * cs, 0.0), 1.0), 6) AS confidence
+FROM f
 """,
     }

@@ -45,3 +45,51 @@ def phrase_citations(
     return hits.groupBy(id_col, rank_col, score_col).agg(
         F.count("*").cast("long").alias("n_matching_phrases")
     )
+
+
+def answer_confidence(
+    results,
+    citations,
+    rank_col: str = "rank",
+    score_col: str = "score",
+    max_context: int = DEFAULT_MAX_RESULTS,
+):
+    """A6: the reference's answer-confidence aggregate (reference
+    answer_generator.py:148-176), as one row:
+
+      citation_coverage = n_citations / min(n_results, max_context)
+      result_scores     = sum(scores of top max_context results) / max_context
+      citation_scores   = mean(cited results' scores)   (0 when none)
+      confidence        = clamp(0.4·coverage + 0.3·results + 0.3·citations, 0, 1)
+
+    results: ranked rows (rank, score, ...); citations: the
+    phrase_citations output. Two tiny aggregates + scalar arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    spark = results.sparkSession
+    rrow = results.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col(rank_col) <= max_context, F.col(score_col))).alias("s"),
+    ).first()
+    crow = citations.agg(
+        F.count("*").alias("n"), F.avg(score_col).alias("avg_s")
+    ).first()
+    n_results = int(rrow["n"] or 0)
+    if n_results == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0.0, 0.0, 0.0, 0.0)],
+            "n_results int, n_citations int, citation_coverage double, "
+            "result_scores double, citation_scores double, confidence double",
+        )
+    n_cit = int(crow["n"] or 0)
+    coverage = n_cit / min(n_results, max_context)
+    result_scores = float(rrow["s"] or 0.0) / max_context
+    citation_scores = float(crow["avg_s"] or 0.0) if n_cit else 0.0
+    conf = 0.4 * coverage + 0.3 * result_scores + 0.3 * citation_scores
+    conf = min(max(conf, 0.0), 1.0)
+    return spark.createDataFrame(
+        [(n_results, n_cit, coverage, result_scores, citation_scores, conf)],
+        "n_results int, n_citations int, citation_coverage double, "
+        "result_scores double, citation_scores double, confidence double",
+    )

@@ -161,6 +161,48 @@ def accumulate_iterations(iteration_results):
     )
 
 
+def final_selection(metrics, n_iterations: int, top_k: int = 5):
+    """A7/T5: the reference's final-selection blend (reference
+    retriever.py:793-849):
+
+      objective  = 0.3·retrieval + 0.2·semantic + 0.2·quality + 0.1·keyword
+      subjective = 0.1·llm_confidence + 0.1·(iterations_found / n_iterations)
+      total      = objective + subjective,  top_k by total DESC
+
+    metrics: DataFrame(id, retrieval_score, semantic_relevance,
+    text_quality, keyword_match, llm_confidence, n_iterations_found).
+    Null retrieval/llm default to 0.5 (reference :810-818); other null
+    metrics default to 0. llm_confidence is whatever the caller supplies
+    — the LLM itself is out of engine scope (SURVEY.md W6), the seam
+    takes a column. Tie-break (total DESC, id ASC), pinned.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    r = F.coalesce("retrieval_score", F.lit(0.5))
+    llm = F.coalesce("llm_confidence", F.lit(0.5))
+    sem = F.coalesce("semantic_relevance", F.lit(0.0))
+    q = F.coalesce("text_quality", F.lit(0.0))
+    kw = F.coalesce("keyword_match", F.lit(0.0))
+    cons = F.coalesce("n_iterations_found", F.lit(0)).cast("double") / F.lit(
+        float(n_iterations)
+    )
+    obj = 0.3 * r + 0.2 * sem + 0.2 * q + 0.1 * kw
+    subj = 0.1 * llm + 0.1 * cons
+    out = metrics.select(
+        "id",
+        obj.alias("objective_score"),
+        subj.alias("subjective_score"),
+        (obj + subj).alias("total_score"),
+    )
+    w = Window.orderBy(F.desc("total_score"), F.asc("id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "id", "total_score", "objective_score", "subjective_score")
+    )
+
+
 def temporal_filter(df, ts_col: str, start=None, end=None):
     """P7 strict temporal predicate (reference retriever.py:1046-1052) —
     a plain pushdown-able filter, not a join."""

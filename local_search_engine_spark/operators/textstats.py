@@ -110,6 +110,29 @@ def language_id(docs, text_col: str = "text", id_col: str = "doc_id"):
     return scored.select("doc_id", best_lang.alias("pred_lang"), best_score.alias("marker_hits"))
 
 
+def keyword_match(docs, query_tokens, text_col: str = "text", id_col: str = "doc_id"):
+    """F15: keyword-match ratio (reference retriever.py:758-760) —
+    matched DISTINCT query terms / total distinct query terms, per doc.
+    Pure array expressions over the shared tokenizer."""
+    from pyspark.sql import functions as F
+
+    from ..functions.tokenize import tokenize_expr
+
+    qt = sorted(set(query_tokens))
+    if not qt:
+        return docs.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("keyword_match")
+        )
+    qarr = F.array(*[F.lit(t) for t in qt])
+    toks = tokenize_expr(F.col(text_col))
+    ratio = F.size(F.array_intersect(F.array_distinct(toks), qarr)) / F.lit(
+        float(len(qt))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), ratio.cast("double").alias("keyword_match")
+    )
+
+
 def doc_fingerprints(docs, text_col: str = "text", id_col: str = "doc_id"):
     """(doc_id, fingerprint, min_shingle_hash):
       fingerprint      = polynomial rolling hash over the token sequence:
