@@ -88,10 +88,14 @@ def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> length(x) >= 2)"
 
-# BM25 index CTE chain over the `documents` view — mirrors
-# operators/build.py exactly (incl. the two-pass epsilon-floored IDF).
-_BM25_CTES = f"""
-tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# BM25 index CTE chain — mirrors operators/build.py exactly (incl. the
+# two-pass epsilon-floored IDF). Parametrized by the (doc_id, text)
+# source so the same chain indexes documents OR derived chunks.
+
+
+def _bm25_ctes_for(docs_sql: str) -> str:
+    return f"""
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM ({docs_sql})),
 dl AS (SELECT doc_id, len(toks)::int AS doc_len FROM tok),
 tf AS (SELECT doc_id, tok AS term, count(*)::bigint AS tf
        FROM tok, unnest(toks) AS u(tok) GROUP BY 1, 2),
@@ -107,6 +111,9 @@ idf AS (SELECT term, df, idf_raw,
         FROM idf0)
 """
 
+
+_BM25_CTES = _bm25_ctes_for("SELECT doc_id, text FROM documents")
+
 _SHINGLE_CTES = f"""
 tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, sh FROM (
@@ -117,7 +124,7 @@ sh AS (SELECT DISTINCT doc_id, sh FROM (
 """
 
 
-def _bm25_sql(query_text: str, k: int) -> str:
+def _bm25_sql(query_text: str, k: int, docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """Top-k BM25 oracle for one query string: identical tokenization
     (tokenize_py runs HERE, so the (term, qtf) multiset is shared by
     construction), identical formula, identical rounded-rank rule."""
@@ -129,7 +136,7 @@ def _bm25_sql(query_text: str, k: int) -> str:
         )
     vals = ", ".join(f"('{t}', {c})" for t, c in counts)
     return f"""
-WITH {_BM25_CTES},
+WITH {_bm25_ctes_for(docs_sql)},
 q(term, qtf) AS (VALUES {vals}),
 contrib AS (
   SELECT tf.doc_id,
@@ -174,6 +181,8 @@ CHUNK_OVERLAP = 20
 SC_K, SC_WD, SC_WS = 50, 0.6, 0.4
 SPELL_TOKENS = ["merg", "window", "query", "tabel", "zzzznotaterm"]
 SPELL_MAX_D = 1
+HYBRID_QUERY = "how to implement merge join"
+HYBRID_K = 20
 
 
 # ---------------------------------------------------------------------------
@@ -647,6 +656,44 @@ def q_answer_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point-1 lifecycle (reference retriever.py:860-1029 minus the
+    LLM loop): classify -> type-dependent weights and fusion K -> sparse
+    BM25 + dense cosine -> weighted RRF. The classifier runs driver-side
+    in BOTH engines (oracle_sql bakes the same weights/K as literals)."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.retrieval import hybrid_search
+
+    idx = _index(spark, sf_dir)
+    qv = _q_vec(spark, sf_dir, 0)
+    fused, _ = hybrid_search(idx, _emb(spark, sf_dir), HYBRID_QUERY, qv, k=HYBRID_K)
+    return fused.select(
+        "fused_rank", "id", "rank_d", "rank_s",
+        F.round("rrf_score", 6).alias("rrf_score"),
+    )
+
+
+def q_bm25_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level retrieval — the reference's actual indexing unit
+    (ProcessedChunk, preprocessing.py:64-74): chunk -> global chunk key
+    doc_id*1000+chunk_id -> full index build -> BM25 top-k over CHUNKS."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.chunking import chunk_docs
+
+    ch = chunk_docs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+    )
+    units = ch.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).cast("long").alias("doc_id"),
+        "chunk_text",
+    )
+    cidx = build_index_from(units, text_col="chunk_text", cache=False)
+    return _ranked_topk(score_all(cidx, Q_MULTI), 20)
+
+
 def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (reference retriever.py:268-310 as
     merge algebra): build over even doc_ids, merge odd doc_ids in, and
@@ -716,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iteration_accumulate": q_iteration_accumulate,
         "final_selection": q_final_selection,
         "answer_confidence": q_answer_confidence,
+        "hybrid_search": q_hybrid_search,
+        "bm25_chunks_topk": q_bm25_chunks,
     }
 
 
@@ -737,6 +786,20 @@ def oracle_sql() -> dict[str, str]:
     lang_vals = ", ".join(
         "('{}', [{}])".format(lang, ", ".join(f"'{m}'" for m in TS.LANG_MARKERS[lang]))
         for lang in sorted(TS.LANG_MARKERS)
+    )
+    from local_search_engine_spark.functions.classify import analyze_query as _aq
+    from local_search_engine_spark.operators.fusion import FUSION_K as _FK
+
+    _an = _aq(HYBRID_QUERY)
+    _hk = _FK.get(_an.query_type.value, _FK["default"])
+    _hwd = _an.weights["dense"]
+    _hws = _an.weights["sparse"]
+    chunks_docs_sql = (
+        "SELECT doc_id * 1000 + i AS doc_id, "
+        f"substr(text, i * {CHUNK_SIZE - CHUNK_OVERLAP} + 1, {CHUNK_SIZE}) AS text "
+        "FROM documents, unnest(range(greatest(1, ceil((length(text) - "
+        f"{CHUNK_OVERLAP}) / {float(CHUNK_SIZE - CHUNK_OVERLAP)}))::bigint)) t(i) "
+        "WHERE length(text) > 0"
     )
     quality_sql = f"""
 WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
@@ -1132,4 +1195,31 @@ SELECT n_results, n_citations,
        round(least(greatest(0.4 * cov + 0.3 * rs + 0.3 * cs, 0.0), 1.0), 6) AS confidence
 FROM f
 """,
+        "hybrid_search": f"""
+WITH sparse AS ({_bm25_sql(HYBRID_QUERY, _hk)}),
+ev AS (SELECT vec_id, i, embedding[i]::double AS v
+       FROM embeddings, range(1, 65) t(i)),
+qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM qv),
+dots AS (SELECT ev.vec_id, sum(ev.v * qv.v) AS d, sum(ev.v * ev.v) AS n2
+         FROM ev JOIN qv USING (i) WHERE ev.vec_id <> 0 GROUP BY 1),
+cos AS (SELECT vec_id AS id, round(d / (sqrt(n2) * (SELECT n FROM qn)), 6) AS cosine FROM dots),
+dense AS (SELECT rank, id FROM (
+    SELECT row_number() OVER (ORDER BY cosine DESC, id)::int AS rank, id FROM cos)
+  WHERE rank <= {_hk}),
+nd AS (SELECT count(*) AS n FROM dense),
+ns AS (SELECT count(*) AS n FROM sparse),
+joined AS (
+  SELECT coalesce(d.id, s.doc_id) AS id,
+         coalesce(d.rank, (SELECT n FROM nd) + 1)::int AS rank_d,
+         coalesce(s.rank, (SELECT n FROM ns) + 1)::int AS rank_s
+  FROM dense d FULL OUTER JOIN sparse s ON d.id = s.doc_id),
+scored AS (SELECT id, rank_d, rank_s,
+                  {_hwd} / ({_hk} + rank_d) + {_hws} / ({_hk} + rank_s) AS rrf
+           FROM joined)
+SELECT fused_rank, id, rank_d, rank_s, round(rrf, 6) AS rrf_score FROM (
+  SELECT row_number() OVER (ORDER BY rrf DESC, id)::int AS fused_rank, *
+  FROM scored) WHERE fused_rank <= {HYBRID_K}
+""",
+        "bm25_chunks_topk": _bm25_sql(Q_MULTI, 20, docs_sql=chunks_docs_sql),
     }

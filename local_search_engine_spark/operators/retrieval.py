@@ -1,0 +1,60 @@
+"""End-to-end hybrid retrieval — the deterministic core of the
+reference's main query path, ChainOfThoughtRetriever.search (reference
+retriever.py:860-1029), minus the LLM loop (out of engine scope,
+SURVEY.md W6 — its seams are final_selection's llm_confidence column and
+accumulate_iterations):
+
+  1. classify the query → (query_type, dense/sparse weights, confidence)
+     (reference retriever.py:884 → query_classifier.py:161-203);
+  2. sparse retrieval: global-index BM25 top-K (reference :363-415,
+     minus the per-document-index defect);
+  3. dense retrieval: cosine top-K over the embedding table
+     (reference :312-361, FAISS flat ≡ exact brute force);
+  4. weighted RRF fusion with the per-query-type fusion K
+     (reference :417-483).
+
+Spell correction (reference :884 → query_classifier.py:131-159) is
+available upstream via operators/spell.correct_tokens against the index
+vocabulary; temporal constraints wrap the result via fusion
+.temporal_filter/temporal_decay (reference retriever.py:1070-1132).
+"""
+
+from __future__ import annotations
+
+from ..functions.classify import analyze_query
+from .fusion import FUSION_K, rrf_fuse
+from .query import score_all
+from .similarity import cosine_scores
+
+
+def _ranked(scores, score_col: str, id_col: str, k: int):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        scores.withColumn(score_col, F.round(score_col, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col).alias("id"), "rank")
+    )
+
+
+def hybrid_search(index, embeddings, query: str, query_vec, k: int = 10):
+    """→ (results DataFrame, QueryAnalysis). Results: (fused_rank, id,
+    rank_d, rank_s, rrf_score) — the reference's SearchResult list shape
+    with both per-ranker ranks exposed."""
+    analysis = analyze_query(query)
+    k_fusion = FUSION_K.get(analysis.query_type.value, FUSION_K["default"])
+    w_dense = analysis.weights["dense"]
+    w_sparse = analysis.weights["sparse"]
+
+    sparse = _ranked(score_all(index, query), "score", "doc_id", k_fusion)
+    from pyspark.sql import functions as F
+
+    dense_scores = cosine_scores(embeddings, query_vec).filter(F.col("id") != 0)
+    dense = _ranked(dense_scores, "cosine", "id", k_fusion)
+    fused = rrf_fuse(
+        dense, sparse, k_fusion=k_fusion, w_dense=w_dense, w_sparse=w_sparse, topk=k
+    )
+    return fused, analysis

@@ -40,13 +40,33 @@ def _delete_variants(col):
     return F.array_distinct(F.concat(F.array(col), dels))
 
 
-def delete_variants_py(term: str) -> list[str]:
-    """Driver-side twin of _delete_variants (query tokens are tiny)."""
+def _variants(col, max_d: int):
+    """Deletion variants up to depth max_d (self included). Depth-d
+    deletion neighbourhoods intersect for every pair within levenshtein
+    distance d (delete the edited positions from each side), so the
+    candidate join stays EXACT-complete at any max_d; the final
+    levenshtein filter removes over-generation."""
+    from pyspark.sql import functions as F
+
+    v = _delete_variants(col)
+    for _ in range(max_d - 1):
+        v = F.array_distinct(F.flatten(F.transform(v, _delete_variants)))
+    return v
+
+
+def delete_variants_py(term: str, max_d: int = 1) -> list[str]:
+    """Driver-side twin of _variants (query tokens are tiny)."""
     seen = [term]
-    for i in range(len(term)):
-        v = term[:i] + term[i + 1 :]
-        if v not in seen:
-            seen.append(v)
+    frontier = [term]
+    for _ in range(max_d):
+        nxt = []
+        for t in frontier:
+            for i in range(len(t)):
+                v = t[:i] + t[i + 1 :]
+                if v not in seen:
+                    seen.append(v)
+                    nxt.append(v)
+        frontier = nxt
     return seen
 
 
@@ -67,11 +87,11 @@ def correct_tokens(vocab, tokens: list[str], max_d: int = 1):
         return spark.createDataFrame(
             [], "token string, corrected string, distance int, df long, matched boolean"
         )
-    qrows = [(t, v) for t in toks for v in delete_variants_py(t)]
+    qrows = [(t, v) for t in toks for v in delete_variants_py(t, max_d)]
     q = spark.createDataFrame(qrows, "token string, vkey string").distinct()
 
     vkeys = vocab.select(
-        "term", "df", F.explode(_delete_variants(F.col("term"))).alias("vkey")
+        "term", "df", F.explode(_variants(F.col("term"), max_d)).alias("vkey")
     )
     # query side is tiny → broadcast it; the join key (deletion variant)
     # is near-uniform, no skew handling needed

@@ -79,3 +79,31 @@ def test_delete_variants():
 def test_empty_tokens(spark):
     vocab = spark.createDataFrame(VOCAB, "term string, df long")
     assert correct_tokens(vocab, []).count() == 0
+
+
+def brute_d2(tokens):
+    out = {}
+    for t in sorted(set(tokens)):
+        cands = [(lev(t, v), -df, v) for v, df in VOCAB if lev(t, v) <= 2]
+        if cands:
+            d, ndf, v = min(cands)
+            out[t] = (v, d, -ndf, True)
+        else:
+            out[t] = (t, -1, 0, False)
+    return out
+
+
+def test_matches_bruteforce_d2(spark):
+    """Reference SymSpell uses max_edit_distance=2
+    (query_classifier.py:137-141): depth-2 deletion neighbourhoods must
+    reproduce the exact lev<=2 brute-force correction."""
+    vocab = spark.createDataFrame(VOCAB, "term string, df long")
+    toks = TOKENS + ["tabel", "windw", "mrge", "qry"]
+    rows = correct_tokens(vocab, toks, max_d=2).collect()
+    got = {r.token: (r.corrected, r.distance, r.df, r.matched) for r in rows}
+    assert got == brute_d2(toks)
+
+
+def test_variants_py_depth2():
+    vs = delete_variants_py("abc", 2)
+    assert set(vs) == {"abc", "ab", "ac", "bc", "a", "b", "c"}
