@@ -120,6 +120,21 @@ def main() -> None:
         TS.quality_scores(docs, "text", "doc_id").count()
     with bench("text_fingerprint"):
         TS.doc_fingerprints(docs, "text", "doc_id").count()
+    with bench("hybrid_search"):
+        from local_search_engine_spark.operators.retrieval import hybrid_search
+
+        fused, _ = hybrid_search(
+            idx, emb, "how to implement merge join", qv, k=20
+        )
+        fused.collect()
+    with bench("spell_correct"):
+        from local_search_engine_spark.operators.spell import correct_tokens
+
+        correct_tokens(
+            idx.idf.select("term", "df"),
+            ["merg", "tabel", "windw", "query"],
+            max_d=2,
+        ).collect()
 
     total = round(sum(timings.values()), 4)
     print(
