@@ -42,6 +42,14 @@ MINHASH_B = [
 N_PERMS = 16
 
 
+def h32_py(s: str) -> int:
+    """Driver-side twin of h32_col — lets query planning derive bucket
+    literals WITHOUT a Spark job (hashlib only)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
 def h32_col(col):
     """Spark Column[string] -> Column[long] in [0, 2^32)."""
     from pyspark.sql import functions as F

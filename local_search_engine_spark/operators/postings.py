@@ -27,8 +27,8 @@ Schema:
                 last_doc_id, doc_ids_vb, tfs_vb, block_max_score
   shard_meta:   part_id, first_doc_id, n_docs, doc_lens (binary i32)
 
-term_bucket = pmod(xxhash64(term), n_buckets) is the Parquet partition
-column: a query's `term IN (...)` filter prunes to ≤ |q| buckets at the
+term_bucket = pmod(h32(term), n_buckets) (portable md5-derived hash,
+driver-computable) is the Parquet partition column: a query's `term IN (...)` filter prunes to ≤ |q| buckets at the
 file level (partition pruning), then Parquet min/max row-group stats on
 the sorted `term` column prune within buckets.
 """
@@ -70,9 +70,14 @@ def build_postings(
     k1, b = index.params.k1, index.params.b
     avgdl = index.avgdl
 
+    from ..functions.hashing import h32_col
+
+    # bucket hash is the PORTABLE h32 (md5-derived) — its driver-side
+    # twin h32_py lets the query path derive bucket literals for
+    # partition pruning without running a Spark job per query
     tf = index.tf.withColumn(
         "part_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
-    ).withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    ).withColumn("term_bucket", F.pmod(h32_col(F.col("term")), F.lit(n_buckets)).cast("int"))
     joined = tf.join(index.idf.select("term", "idf"), "term").join(
         index.docs.select("doc_id", "doc_len"), "doc_id"
     )

@@ -36,9 +36,9 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
 
     n_buckets: pass the index's bucket count when postings come from a
     persisted index written partitionBy("term_bucket") — the query then
-    adds term_bucket literals (computed by a tiny driver-side job, ≤|q|
-    rows) so the Parquet scan prunes whole bucket directories instead of
-    reading the full index.
+    adds term_bucket literals (computed driver-side via the portable h32
+    hash, no Spark job) so the Parquet scan prunes whole bucket
+    directories instead of reading the full index.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -57,15 +57,10 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
         terms = list(qtf)
         scan = postings
         if n_buckets and "term_bucket" in postings.columns:
-            buckets = [
-                int(r["b"])
-                for r in spark.createDataFrame([(t,) for t in terms], "term string")
-                .select(
-                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
+            from ..functions.hashing import h32_py
+
+            # bucket literals computed driver-side (hashlib) — zero jobs
+            buckets = sorted({h32_py(t) % n_buckets for t in terms})
             scan = scan.filter(F.col("term_bucket").isin(buckets))
         matched = scan.filter(F.col("term").isin(terms)).join(
             F.broadcast(idf_small.filter(F.col("term").isin(terms))), "term"

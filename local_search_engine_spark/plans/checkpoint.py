@@ -147,6 +147,7 @@ def build_persisted_index(
                     "docs_per_shard": docs_per_shard,
                     "block_span": span,
                     "n_buckets": n_buckets,
+                    "bucket_hash": "h32",
                     "n_groups": n_groups,
                 },
                 f,

@@ -41,7 +41,9 @@ def main() -> None:
         postings,
         shard_meta,
         block_span=stats["block_span"],
-        n_buckets=stats.get("n_buckets"),
+        # legacy indexes (no bucket_hash field) used a different bucket
+        # hash — never prune those with h32 literals
+        n_buckets=stats.get("n_buckets") if stats.get("bucket_hash") == "h32" else None,
     )
 
     queries = (
