@@ -656,6 +656,43 @@ def q_answer_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest (streaming/merge.py stream_ingest):
+    base index over doc_id < 250, the rest dropped into a watched dir as
+    two parquet files, consumed with trigger(availableNow) through
+    foreachBatch merge. The merged df/idf must equal a from-scratch
+    build over ALL docs — so the oracle is the plain full-corpus idf SQL
+    (same as index_merge_incremental)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.build import build_index_from
+    from local_search_engine_spark.streaming.merge import stream_ingest
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="lse_stream_")
+    watch = os.path.join(tmp, "incoming")
+    os.makedirs(watch, exist_ok=True)
+    docs.filter("doc_id >= 250 AND doc_id % 2 = 0").write.mode("append").parquet(watch)
+    docs.filter("doc_id >= 250 AND doc_id % 2 = 1").write.mode("append").parquet(watch)
+
+    base = build_index_from(docs.filter("doc_id < 250"), text_col="text", cache=False)
+    state = {"index": base}
+    q = stream_ingest(
+        spark, watch, state, "doc_id long, text string",
+        text_col="text", checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    q.awaitTermination(300)
+    merged = state["index"]
+    return merged.idf.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf"),
+    )
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point-1 lifecycle (reference retriever.py:860-1029 minus the
     LLM loop): classify -> type-dependent weights and fusion K -> sparse
@@ -765,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "answer_confidence": q_answer_confidence,
         "hybrid_search": q_hybrid_search,
         "bm25_chunks_topk": q_bm25_chunks,
+        "streaming_ingest_merge": q_streaming_ingest,
     }
 
 
@@ -1222,4 +1260,8 @@ SELECT fused_rank, id, rank_d, rank_s, round(rrf, 6) AS rrf_score FROM (
   FROM scored) WHERE fused_rank <= {HYBRID_K}
 """,
         "bm25_chunks_topk": _bm25_sql(Q_MULTI, 20, docs_sql=chunks_docs_sql),
+        "streaming_ingest_merge": f"""
+WITH {_BM25_CTES}
+SELECT term, df, round(idf, 6) AS idf FROM idf
+""",
     }
