@@ -183,6 +183,8 @@ SPELL_TOKENS = ["merg", "window", "query", "tabel", "zzzznotaterm"]
 SPELL_MAX_D = 1
 HYBRID_QUERY = "how to implement merge join"
 HYBRID_K = 20
+SPELLED_QUERY = "fastt merge joinn queery"
+SPELLED_K = 15
 
 
 # ---------------------------------------------------------------------------
@@ -693,6 +695,17 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spell_corrected_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrected-query retrieval: tokens of a misspelled query map
+    through the vocabulary-based corrector (per occurrence), then BM25
+    top-k on the corrected multiset — the reference's correct-then-
+    retrieve flow (retriever.py:884-886)."""
+    from local_search_engine_spark.operators.retrieval import search_corrected
+
+    idx = _index(spark, sf_dir)
+    return _ranked_topk(search_corrected(idx, SPELLED_QUERY, max_d=SPELL_MAX_D), SPELLED_K)
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point-1 lifecycle (reference retriever.py:860-1029 minus the
     LLM loop): classify -> type-dependent weights and fusion K -> sparse
@@ -803,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "bm25_chunks_topk": q_bm25_chunks,
         "streaming_ingest_merge": q_streaming_ingest,
+        "spell_corrected_search": q_spell_corrected_search,
     }
 
 
@@ -1263,5 +1277,30 @@ SELECT fused_rank, id, rank_d, rank_s, round(rrf, 6) AS rrf_score FROM (
         "streaming_ingest_merge": f"""
 WITH {_BM25_CTES}
 SELECT term, df, round(idf, 6) AS idf FROM idf
+""",
+        "spell_corrected_search": f"""
+WITH {_BM25_CTES},
+qtok(token, n) AS (VALUES ('fastt', 1), ('joinn', 1), ('merge', 1), ('queery', 1)),
+cand AS (SELECT q.token, d.term, d.df, levenshtein(q.token, d.term) AS dist
+         FROM qtok q CROSS JOIN dfreq d
+         WHERE levenshtein(q.token, d.term) <= {SPELL_MAX_D}),
+best AS (SELECT token, term,
+                row_number() OVER (PARTITION BY token ORDER BY dist, df DESC, term) AS rn
+         FROM cand),
+corrected AS (SELECT coalesce(b.term, q.token) AS term, sum(q.n)::int AS qtf
+              FROM qtok q LEFT JOIN (SELECT token, term FROM best WHERE rn = 1) b
+                USING (token)
+              GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         idf.idf * cq.qtf * tf.tf * {BM25_K1 + 1.0}
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len
+                                    / (SELECT avgdl FROM stats))) AS c
+  FROM tf JOIN corrected cq USING (term) JOIN idf USING (term) JOIN dl USING (doc_id)),
+raw AS (SELECT doc_id, sum(c) AS raw FROM contrib GROUP BY 1),
+r AS (SELECT doc_id, round(raw, 6) AS score FROM raw)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id)::int AS rank, doc_id, score
+  FROM r) WHERE rank <= {SPELLED_K}
 """,
     }

@@ -62,10 +62,17 @@ def contribution_col(k1: float, b: float, avgdl: float):
 
 def score_all(index: InvertedIndex, query: str):
     """(doc_id, score) for every doc matching ≥1 query term."""
+    return score_terms(index, dict(Counter(tokenize_py(query))))
+
+
+def score_terms(index: InvertedIndex, term_counts: dict):
+    """Score from an explicit (term → qtf) multiset — the seam the
+    spell-correction path uses (corrected terms replace raw tokens,
+    reference retriever.py:886)."""
     from pyspark.sql import functions as F
 
     spark = index.tf.sparkSession
-    counts = sorted(Counter(tokenize_py(query)).items())
+    counts = sorted(term_counts.items())
     if not counts:
         return spark.createDataFrame([], "doc_id long, score double")
     qt = spark.createDataFrame([(t, int(c)) for t, c in counts], "term string, qtf int")

@@ -40,6 +40,34 @@ def _ranked(scores, score_col: str, id_col: str, k: int):
     )
 
 
+def corrected_term_counts(index, query: str, max_d: int = 1) -> dict:
+    """Spell-correct the query's token multiset against the index
+    vocabulary (reference query_classifier.py:131-159 + the query
+    replacement at retriever.py:886): every occurrence of a token maps
+    through its best correction; unmatched tokens pass through."""
+    from collections import Counter
+
+    from ..functions.tokenize import tokenize_py
+    from .spell import correct_tokens
+
+    counts = Counter(tokenize_py(query))
+    if not counts:
+        return {}
+    corr = correct_tokens(index.idf.select("term", "df"), sorted(counts), max_d=max_d)
+    mapping = {r["token"]: r["corrected"] for r in corr.collect()}
+    out: Counter = Counter()
+    for t, c in counts.items():
+        out[mapping.get(t, t)] += c
+    return dict(out)
+
+
+def search_corrected(index, query: str, k: int = 10, max_d: int = 1):
+    """BM25 top-k over the spell-corrected query."""
+    from .query import score_terms
+
+    return score_terms(index, corrected_term_counts(index, query, max_d=max_d))
+
+
 def hybrid_search(index, embeddings, query: str, query_vec, k: int = 10):
     """→ (results DataFrame, QueryAnalysis). Results: (fused_rank, id,
     rank_d, rank_s, rrf_score) — the reference's SearchResult list shape

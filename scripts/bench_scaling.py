@@ -25,7 +25,7 @@ Methodology notes (also recorded in BENCH/BASELINE.md):
     block-max postings → manifest-checkpointed parquet writes.
 
 Usage:
-  python scripts/bench_scaling.py [--rows 40000] [--levels 2,8] [--exec-cores 4] [--repeat 2]
+  python scripts/bench_scaling.py [--rows 160000] [--levels 1,4] [--exec-cores 4] [--repeat 3]
   (internal) python scripts/bench_scaling.py --single --executors 2 --exec-cores 4 --corpus DIR --index DIR
 """
 
@@ -94,7 +94,7 @@ def run_single(executors: int, exec_cores: int, corpus_dir: str, index_dir: str,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=40_000)
-    ap.add_argument("--levels", default="2,8",
+    ap.add_argument("--levels", default="1,4",
                     help="comma list of EXECUTOR counts (N and 4N executors)")
     ap.add_argument("--exec-cores", type=int, default=4)
     ap.add_argument("--repeat", type=int, default=1,
