@@ -185,6 +185,8 @@ HYBRID_QUERY = "how to implement merge join"
 HYBRID_K = 20
 SPELLED_QUERY = "fastt merge joinn queery"
 SPELLED_K = 15
+TEMPORAL_NL_QUERY = "error spikes last 10 days"
+TEMPORAL_NOW = "2024-01-20 12:00:00"
 
 
 # ---------------------------------------------------------------------------
@@ -695,6 +697,39 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_nl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point-2 lifecycle (reference retriever.py:1070-1132): parse
+    the NL temporal expression out of the query (functions/temporal.py,
+    driver-side in BOTH engines), apply the resulting window as a
+    pushdown filter on the events table, decay-score by recency. The
+    oracle bakes the SAME parsed window as literals."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.functions.temporal import parse_temporal
+    from local_search_engine_spark.operators.fusion import temporal_decay, temporal_filter
+
+    now = datetime.datetime.fromisoformat(TEMPORAL_NOW)
+    cleaned, c = parse_temporal(TEMPORAL_NL_QUERY, now)
+    assert cleaned == "error spikes"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    filt = temporal_filter(ev, "ts", start=c.start_date, end=c.end_date)
+    # decay factors precomputed driver-side, QUANTIZED to 4 dp, and used
+    # as literals on BOTH engines: values have 2 decimals, so the product
+    # has at most 6 — round(.,6) is then exact everywhere. (Raw 0.95^d
+    # factors produce knife-edge values like 9.38*0.95^3 = 8.0421775
+    # EXACTLY, where Spark rounds the shortest decimal repr HALF_UP while
+    # DuckDB rounds the exact binary expansion — a genuine cross-engine
+    # round() semantic difference, not an engine bug.)
+    days = F.greatest(F.datediff(F.lit(now.date()), F.col("ts")), F.lit(0))
+    facs = F.array(*[F.lit(round(DECAY_RATE**i, 4)) for i in range(32)])
+    out = filt.withColumn("decayed", F.col("value") * F.element_at(facs, days + 1))
+    return out.select(
+        "event_id", "event_type", "value", F.round("decayed", 6).alias("decayed")
+    )
+
+
 def q_spell_corrected_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrected-query retrieval: tokens of a misspelled query map
     through the vocabulary-based corrector (per occurrence), then BM25
@@ -817,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_chunks_topk": q_bm25_chunks,
         "streaming_ingest_merge": q_streaming_ingest,
         "spell_corrected_search": q_spell_corrected_search,
+        "temporal_nl_search": q_temporal_nl_search,
     }
 
 
@@ -853,6 +889,15 @@ def oracle_sql() -> dict[str, str]:
         f"{CHUNK_OVERLAP}) / {float(CHUNK_SIZE - CHUNK_OVERLAP)}))::bigint)) t(i) "
         "WHERE length(text) > 0"
     )
+    import datetime as _dt
+
+    from local_search_engine_spark.functions.temporal import parse_temporal as _pt
+
+    _tnow = _dt.datetime.fromisoformat(TEMPORAL_NOW)
+    _, _tc = _pt(TEMPORAL_NL_QUERY, _tnow)
+    _tstart = _tc.start_date.strftime("%Y-%m-%d %H:%M:%S")
+    _tend = _tc.end_date.strftime("%Y-%m-%d %H:%M:%S")
+    _tfacs = ", ".join(repr(round(DECAY_RATE**i, 4)) for i in range(32))
     quality_sql = f"""
 WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 m AS (SELECT doc_id,
@@ -1302,5 +1347,12 @@ r AS (SELECT doc_id, round(raw, 6) AS score FROM raw)
 SELECT rank, doc_id, score FROM (
   SELECT row_number() OVER (ORDER BY score DESC, doc_id)::int AS rank, doc_id, score
   FROM r) WHERE rank <= {SPELLED_K}
+""",
+        "temporal_nl_search": f"""
+SELECT event_id, event_type, value,
+       round(value * ([{_tfacs}])[greatest(date_diff('day', ts::date,
+             date '{TEMPORAL_NOW[:10]}'), 0) + 1], 6) AS decayed
+FROM events
+WHERE ts >= timestamp '{_tstart}' AND ts <= timestamp '{_tend}'
 """,
     }
