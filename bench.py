@@ -99,6 +99,8 @@ def main() -> None:
     wand = make_wand_topk(idx, postings, shard_meta, block_span=64)
     with bench("bm25_wand_topk"):
         wand("fast merge join query", 20, prune=True).collect()
+    with bench("bm25_wand_batch"):
+        wand.query_set(qset, prune=True).collect()
 
     # --- training-data-pipeline operators -------------------------------
     with bench("dedup_exact"):

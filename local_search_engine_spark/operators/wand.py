@@ -150,4 +150,137 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
             "rank", "doc_id", "score"
         )
 
+    def query_set(queries, prune: bool = True):
+        """Batch path: ALL queries against the index in ONE plan — one
+        postings scan (filtered to the union of all query terms, bucket-
+        pruned), one shuffle, one per-shard pandas pass that runs the
+        same exact block-max WAND loop per query. Per-query results are
+        identical to query() (tests assert it); wall cost amortizes the
+        per-job overhead across the whole set, exactly like
+        operators/query.run_query_set does for the brute-force path.
+
+        queries: [(query_id, text, k)] → DataFrame(query_id, rank,
+        doc_id, score).
+        """
+        qspecs = []
+        for qid, text, k in queries:
+            qtf = dict(sorted(Counter(tokenize_py(text)).items()))
+            if qtf and k > 0:
+                qspecs.append((int(qid), qtf, int(k)))
+        if not qspecs:
+            return spark.createDataFrame(
+                [], "query_id int, rank int, doc_id long, score double"
+            )
+        all_terms = sorted({t for _, qtf, _ in qspecs for t in qtf})
+        scan = postings
+        if n_buckets and "term_bucket" in postings.columns:
+            from ..functions.hashing import h32_py
+
+            buckets = sorted({h32_py(t) % n_buckets for t in all_terms})
+            scan = scan.filter(F.col("term_bucket").isin(buckets))
+        matched = scan.filter(F.col("term").isin(all_terms)).join(
+            F.broadcast(idf_small.filter(F.col("term").isin(all_terms))), "term"
+        )
+
+        def score_set_fn(key, posts_pdf, meta_pdf):
+            import heapq
+
+            import numpy as np
+            import pandas as pd
+
+            from local_search_engine_spark.functions.codec import (
+                decode_block,
+                unpack_i32,
+            )
+
+            empty = pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int32"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+            if posts_pdf.empty or meta_pdf.empty:
+                return empty
+            first_doc = int(meta_pdf["first_doc_id"].iloc[0])
+            doc_lens = unpack_i32(meta_pdf["doc_lens"].iloc[0]).astype(np.float64)
+            posts_pdf = posts_pdf.sort_values(["block_id", "term"])
+            out_q, out_d, out_s = [], [], []
+            for qid, qtf, k in qspecs:
+                qterms = set(qtf)
+                sub = posts_pdf[posts_pdf["term"].isin(qterms)]
+                if sub.empty:
+                    continue
+                qw = {t: float(c) for t, c in qtf.items()}
+                scores = np.zeros(doc_lens.size, dtype=np.float64)
+                touched = np.zeros(doc_lens.size, dtype=bool)
+                heap: list[tuple[float, int]] = []
+                for bid, grp in sub.groupby("block_id", sort=True):
+                    if prune and len(heap) == k:
+                        ub = float(
+                            (
+                                grp["block_max_score"].clip(lower=0.0)
+                                * grp["term"].map(qw)
+                            ).sum()
+                        )
+                        if ub <= heap[0][0]:
+                            continue
+                    base = int(bid) * span
+                    for row in grp.itertuples(index=False):
+                        d, tf = decode_block(row.doc_ids_vb, row.tfs_vb, base)
+                        off = d - first_doc
+                        dl = doc_lens[off]
+                        tfd = tf.astype(np.float64)
+                        contrib = (
+                            float(row.idf)
+                            * qw[row.term]
+                            * tfd
+                            * (k1 + 1.0)
+                            / (tfd + k1 * (1.0 - b_ + b_ * dl / avgdl))
+                        )
+                        scores[off] += contrib
+                        touched[off] = True
+                    lo = max(base - first_doc, 0)
+                    hi = min(base + span - first_doc, doc_lens.size)
+                    for off in np.flatnonzero(touched[lo:hi]) + lo:
+                        s = scores[off]
+                        touched[off] = False
+                        scores[off] = 0.0
+                        item = (s, -(off + first_doc))
+                        if len(heap) < k:
+                            heapq.heappush(heap, item)
+                        elif item > heap[0]:
+                            heapq.heapreplace(heap, item)
+                for s, nd in heap:
+                    out_q.append(qid)
+                    out_d.append(-nd)
+                    out_s.append(s)
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int32"),
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    "score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+        per_shard = (
+            matched.groupBy("part_id")
+            .cogroup(shard_meta.groupBy("part_id"))
+            .applyInPandas(score_set_fn, "query_id int, doc_id long, score double")
+        )
+        kmap = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(q) for q, _, _ in qspecs]),
+                F.array(*[F.lit(k) for _, _, k in qspecs]),
+            ),
+            F.col("query_id"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per_shard.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kmap)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    query.query_set = query_set
     return query

@@ -64,3 +64,17 @@ def test_wand_rank_identity_vs_oracle(compressed):
         assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], (qid, text)
         for (_, _, s_g), (_, _, s_o) in zip(got, want):
             assert s_g == pytest.approx(s_o, abs=1e-9)
+
+
+def test_batch_query_set_matches_per_query(compressed):
+    """The one-plan batch WAND path must reproduce each per-query WAND
+    result exactly (same floats, same ranks)."""
+    idx, wand = compressed
+    qs = query_set(N_DOCS)[:5]
+    batch = wand.query_set(qs, prune=True).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, text, k in qs:
+        want = [(r.rank, r.doc_id, r.score) for r in wand(text, k, prune=True).collect()]
+        assert sorted(got.get(qid, [])) == sorted(want), text
