@@ -60,21 +60,32 @@ def _index(spark: SparkSession, sf_dir: str):
 
 
 def _ranked_topk(scores: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
-    """round(6) → rank over (rounded DESC, id ASC) → ≤k, over the
-    matched-docs domain (no score-sign filter — the epsilon floor is
-    negative when avg_idf<0, as on this tiny-vocabulary table). The SAME
-    rule the oracle SQL applies — ranking on rounded scores is what makes
-    rank identity robust to cross-engine ulp differences."""
+    """round(6) → orderBy().limit(k) → rank over the ≤k survivors (no
+    score-sign filter — the epsilon floor is negative when avg_idf<0, as
+    on this tiny-vocabulary table). The limit comes FIRST so Spark plans
+    TakeOrderedAndProject instead of a single-partition window over the
+    whole matched-docs domain; ranking on ROUNDED scores is the SAME rule
+    the oracle SQL applies, keeping rank identity robust to cross-engine
+    ulp differences."""
+    from pyspark.sql import functions as F
+
+    return _limit_rank(
+        scores.withColumn("score", F.round("score", 6)),
+        [F.desc("score"), F.asc(id_col)],
+        k,
+    ).select("rank", id_col, "score")
+
+
+def _limit_rank(df: DataFrame, order_cols, k: int, rank_name: str = "rank") -> DataFrame:
+    """orderBy(order_cols).limit(k) (TakeOrderedAndProject) then
+    row_number over the ≤k rows — the engine-wide limit-before-rank
+    shape; never a global window over an unbounded domain."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scores.withColumn("score", F.round("score", 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", id_col, "score")
-    )
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(rank_name, F.row_number().over(w))
 
 
 def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -187,6 +198,9 @@ SPELLED_QUERY = "fastt merge joinn queery"
 SPELLED_K = 15
 TEMPORAL_NL_QUERY = "error spikes last 10 days"
 TEMPORAL_NOW = "2024-01-20 12:00:00"
+FLEX_START = "2024-01-08 00:00:00"
+FLEX_END = "2024-01-15 00:00:00"
+FLEX_NOW = "2024-02-01 00:00:00"
 
 
 # ---------------------------------------------------------------------------
@@ -338,32 +352,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 embedding pairs by cosine (a < b) — bounded at any SF."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     pairs = D.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=-1.0)
-    w = Window.orderBy(F.desc("cosine"), F.asc("a"), F.asc("b"))
-    return (
-        pairs.withColumn("cosine", F.round("cosine", 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("rank", "a", "b", "cosine")
-    )
+    return _limit_rank(
+        pairs.withColumn("cosine", F.round("cosine", 6)),
+        [F.desc("cosine"), F.asc("a"), F.asc("b")],
+        50,
+    ).select("rank", "a", "b", "cosine")
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     q = _q_vec(spark, sf_dir, 0)
     s = SIM.cosine_scores(_emb(spark, sf_dir), q).filter(F.col("id") != 0)
-    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
-    return (
-        s.withColumn("cosine", F.round("cosine", 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_K)
-        .select("rank", "id", "cosine")
-    )
+    return _limit_rank(
+        s.withColumn("cosine", F.round("cosine", 6)),
+        [F.desc("cosine"), F.asc("id")],
+        ANN_K,
+    ).select("rank", "id", "cosine")
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,13 +392,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = SIM.srp_lsh_buckets(emb, len(q), ANN_LSH_BITS)
     cand = buckets.filter(F.col("bucket") == qbucket).select("id")
     s = SIM.cosine_scores(emb, q).join(cand, "id").filter(F.col("id") != 0)
-    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
-    return (
-        s.withColumn("cosine", F.round("cosine", 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_K)
-        .select("rank", "id", "cosine")
-    )
+    return _limit_rank(
+        s.withColumn("cosine", F.round("cosine", 6)),
+        [F.desc("cosine"), F.asc("id")],
+        ANN_K,
+    ).select("rank", "id", "cosine")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,15 +436,13 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topn(spark: SparkSession, sf_dir: str, qv, n: int) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     s = SIM.cosine_scores(_emb(spark, sf_dir), qv).filter(F.col("id") != 0)
-    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
-    return (
-        s.withColumn("cosine", F.round("cosine", 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
+    return _limit_rank(
+        s.withColumn("cosine", F.round("cosine", 6)),
+        [F.desc("cosine"), F.asc("id")],
+        n,
     )
 
 
@@ -520,18 +524,17 @@ def q_score_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.col("cosine").alias("score"))
     )
     comb = FU.score_combine(dense, sparse, w_dense=SC_WD, w_sparse=SC_WS)
-    w = Window.orderBy(F.desc("combined"), F.asc("id"))
-    return (
-        comb.withColumn("combined", F.round("combined", 6))
-        .withColumn("combined_rank", F.row_number().over(w))
-        .filter(F.col("combined_rank") <= SC_K)
-        .select(
-            "combined_rank",
-            "id",
-            F.round("norm_d", 6).alias("norm_d"),
-            F.round("norm_s", 6).alias("norm_s"),
-            "combined",
-        )
+    return _limit_rank(
+        comb.withColumn("combined", F.round("combined", 6)).drop("combined_rank"),
+        [F.desc("combined"), F.asc("id")],
+        SC_K,
+        rank_name="combined_rank",
+    ).select(
+        "combined_rank",
+        "id",
+        F.round("norm_d", 6).alias("norm_d"),
+        F.round("norm_s", 6).alias("norm_s"),
+        "combined",
     )
 
 
@@ -624,15 +627,14 @@ def q_final_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("llm_confidence", F.lit(0.5))
     )
     out = final_selection(metrics, n_iterations=2, top_k=60)
-    w = Window.orderBy(F.desc("total_score"), F.asc("id"))
-    return (
+    return _limit_rank(
         out.withColumn("total_score", F.round("total_score", 6))
         .withColumn("objective_score", F.round("objective_score", 6))
         .withColumn("subjective_score", F.round("subjective_score", 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "id", "total_score", "objective_score", "subjective_score")
-    )
+        .drop("rank"),
+        [F.desc("total_score"), F.asc("id")],
+        10,
+    ).select("rank", "id", "total_score", "objective_score", "subjective_score")
 
 
 def q_answer_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +729,36 @@ def q_temporal_nl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = filt.withColumn("decayed", F.col("value") * F.element_at(facs, days + 1))
     return out.select(
         "event_id", "event_type", "value", F.round("decayed", 6).alias("decayed")
+    )
+
+
+def q_temporal_flexible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 FLEXIBLE temporal scoring (reference retriever.py:1054-1068):
+    the full three-branch flexible mode over the events table — no rows
+    dropped; out-of-range rows decay 0.5*0.9^days_out, in-range rows
+    boost 1 + 0.5*relative_position. The score arithmetic is integer-
+    microsecond exact so the oracle reproduces it bit-for-bit; out-of-
+    range decay factors are 4 dp-quantized literals (see fusion.py)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.fusion import temporal_flexible
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = temporal_flexible(
+        ev,
+        "ts",
+        start=datetime.datetime.fromisoformat(FLEX_START),
+        end=datetime.datetime.fromisoformat(FLEX_END),
+        now=datetime.datetime.fromisoformat(FLEX_NOW),
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("temporal_score", 6).alias("temporal_score"),
+        F.round(F.col("value") * F.col("temporal_score"), 6).alias("adjusted"),
     )
 
 
@@ -853,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_merge": q_streaming_ingest,
         "spell_corrected_search": q_spell_corrected_search,
         "temporal_nl_search": q_temporal_nl_search,
+        "temporal_flexible": q_temporal_flexible,
     }
 
 
@@ -898,6 +931,22 @@ def oracle_sql() -> dict[str, str]:
     _tstart = _tc.start_date.strftime("%Y-%m-%d %H:%M:%S")
     _tend = _tc.end_date.strftime("%Y-%m-%d %H:%M:%S")
     _tfacs = ", ".join(repr(round(DECAY_RATE**i, 4)) for i in range(32))
+    from local_search_engine_spark.operators.fusion import (
+        FLEX_N_FACTORS as _FX_N,
+    )
+    from local_search_engine_spark.operators.fusion import (
+        flex_out_factors as _fx_factors,
+    )
+
+    _US_PER_DAY = 86_400_000_000
+
+    def _naive_utc_us(iso: str) -> int:
+        d = _dt.datetime.fromisoformat(iso).replace(tzinfo=_dt.timezone.utc)
+        return int(d.timestamp() * 1_000_000)
+
+    _fx_start_us = _naive_utc_us(FLEX_START)
+    _fx_end_us = _naive_utc_us(FLEX_END)
+    _fx_facs = ", ".join(repr(x) for x in _fx_factors())
     quality_sql = f"""
 WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 m AS (SELECT doc_id,
@@ -1354,5 +1403,22 @@ SELECT event_id, event_type, value,
              date '{TEMPORAL_NOW[:10]}'), 0) + 1], 6) AS decayed
 FROM events
 WHERE ts >= timestamp '{_tstart}' AND ts <= timestamp '{_tend}'
+""",
+        "temporal_flexible": f"""
+WITH e AS (SELECT event_id, event_type, value, epoch_us(ts) AS tus FROM events),
+p AS (SELECT *,
+  CASE
+    WHEN tus < {_fx_start_us} THEN
+      ([{_fx_facs}])[least(({_fx_start_us} - tus) // {_US_PER_DAY}, {_FX_N - 1}) + 1]
+    WHEN tus > {_fx_end_us} THEN
+      ([{_fx_facs}])[least((tus - {_fx_end_us}) // {_US_PER_DAY}, {_FX_N - 1}) + 1]
+    ELSE 1.0 + 0.5 * ((tus - {_fx_start_us})::double
+                      / greatest(({_fx_end_us} - {_fx_start_us})::double, 1.0))
+  END AS score
+ FROM e)
+SELECT event_id, event_type, value,
+       round(score, 6) AS temporal_score,
+       round(value * score, 6) AS adjusted
+FROM p
 """,
     }

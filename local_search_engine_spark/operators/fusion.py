@@ -32,27 +32,34 @@ def rrf_fuse(dense, sparse, k_fusion: int = 50, w_dense: float = 0.5, w_sparse: 
     (n_side + 1) when the id is missing from a side — exactly the
     reference's default rank len(results)+1 (retriever.py:450-453).
     Tie-break (score DESC, id ASC), pinned as everywhere in the engine.
+
+    The per-side sizes are IN-PLAN broadcast scalar aggregates (a 1x1
+    crossJoin), not driver .count() actions — the whole fusion is one
+    Spark job, no extra round-trips per query. With topk the cut is
+    orderBy().limit() (TakeOrderedAndProject) BEFORE the rank window, so
+    the single-partition window only ever sees ≤topk rows.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    n_d = dense.count()
-    n_s = sparse.count()
     d = dense.select(F.col("id"), F.col("rank").alias("rank_d"))
     s = sparse.select(F.col("id"), F.col("rank").alias("rank_s"))
-    joined = d.join(s, "id", "full_outer").select(
+    sizes = F.broadcast(
+        d.agg(F.count("*").alias("n_d")).crossJoin(s.agg(F.count("*").alias("n_s")))
+    )
+    joined = d.join(s, "id", "full_outer").crossJoin(sizes).select(
         "id",
-        F.coalesce("rank_d", F.lit(n_d + 1)).alias("rank_d"),
-        F.coalesce("rank_s", F.lit(n_s + 1)).alias("rank_s"),
+        F.coalesce("rank_d", (F.col("n_d") + 1).cast("int")).alias("rank_d"),
+        F.coalesce("rank_s", (F.col("n_s") + 1).cast("int")).alias("rank_s"),
     )
     score = F.lit(w_dense) / (F.lit(k_fusion) + F.col("rank_d")) + F.lit(w_sparse) / (
         F.lit(k_fusion) + F.col("rank_s")
     )
     out = joined.withColumn("rrf_score", score)
+    if topk is not None:
+        out = out.orderBy(F.desc("rrf_score"), F.asc("id")).limit(topk)
     w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
     out = out.withColumn("fused_rank", F.row_number().over(w))
-    if topk is not None:
-        out = out.filter(F.col("fused_rank") <= topk)
     return out.select("fused_rank", "id", "rank_d", "rank_s", "rrf_score")
 
 
@@ -63,36 +70,41 @@ def score_combine(dense, sparse, w_dense: float = 0.5, w_sparse: float = 0.5, to
     are full-outer joined on id with 0.0 defaults for missing entries
     (:689), and blended w_d * nd + w_s * ns.
 
-    Inputs: (id, score) DataFrames. The max is a scalar aggregate
-    broadcast into the projection — no window shuffle. Non-positive or
-    absent maxima leave that side's scores 0 (degenerate-corpus guard).
-    Output: (combined_rank, id, norm_d, norm_s, combined) with the pinned
-    (score DESC, id ASC) tie-break.
+    Inputs: (id, score) DataFrames. The per-side maxima are IN-PLAN
+    broadcast scalar aggregates (1x1 crossJoin) — zero driver actions per
+    query; the whole combine is one Spark job. Non-positive or absent
+    maxima leave that side's scores 0 (degenerate-corpus guard). With
+    topk the cut is orderBy().limit() (TakeOrderedAndProject) before the
+    ≤topk-row rank window. Output: (combined_rank, id, norm_d, norm_s,
+    combined) with the pinned (score DESC, id ASC) tie-break.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    def norm_side(df, out_col):
-        mx = df.agg(F.max("score")).first()[0]
-        mx = float(mx) if mx is not None and mx > 0 else None
-        col = (F.col("score") / F.lit(mx)) if mx else F.lit(0.0)
-        return df.select(F.col("id"), col.alias(out_col))
-
-    d = norm_side(dense, "norm_d")
-    s = norm_side(sparse, "norm_s")
-    joined = d.join(s, "id", "full_outer").select(
+    d = dense.select(F.col("id"), F.col("score").alias("score_d"))
+    s = sparse.select(F.col("id"), F.col("score").alias("score_s"))
+    maxes = F.broadcast(
+        d.agg(F.max("score_d").alias("mx_d")).crossJoin(
+            s.agg(F.max("score_s").alias("mx_s"))
+        )
+    )
+    joined = d.join(s, "id", "full_outer").crossJoin(maxes).select(
         "id",
-        F.coalesce("norm_d", F.lit(0.0)).alias("norm_d"),
-        F.coalesce("norm_s", F.lit(0.0)).alias("norm_s"),
+        F.when(
+            F.col("mx_d") > 0, F.coalesce("score_d", F.lit(0.0)) / F.col("mx_d")
+        ).otherwise(F.lit(0.0)).alias("norm_d"),
+        F.when(
+            F.col("mx_s") > 0, F.coalesce("score_s", F.lit(0.0)) / F.col("mx_s")
+        ).otherwise(F.lit(0.0)).alias("norm_s"),
     )
     out = joined.withColumn(
         "combined",
         F.lit(w_dense) * F.col("norm_d") + F.lit(w_sparse) * F.col("norm_s"),
     )
+    if topk is not None:
+        out = out.orderBy(F.desc("combined"), F.asc("id")).limit(topk)
     w = Window.orderBy(F.desc("combined"), F.asc("id"))
     out = out.withColumn("combined_rank", F.row_number().over(w))
-    if topk is not None:
-        out = out.filter(F.col("combined_rank") <= topk)
     return out.select("combined_rank", "id", "norm_d", "norm_s", "combined")
 
 
@@ -195,10 +207,12 @@ def final_selection(metrics, n_iterations: int, top_k: int = 5):
         subj.alias("subjective_score"),
         (obj + subj).alias("total_score"),
     )
+    # limit-before-rank: TakeOrderedAndProject cuts to top_k rows first,
+    # the single-partition rank window then sees ≤top_k rows
+    top = out.orderBy(F.desc("total_score"), F.asc("id")).limit(top_k)
     w = Window.orderBy(F.desc("total_score"), F.asc("id"))
     return (
-        out.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "id", "total_score", "objective_score", "subjective_score")
     )
 
@@ -226,3 +240,108 @@ def temporal_decay(df, ts_col: str, now, score_col: str = "value", rate: float =
     return df.withColumn(
         "decayed", F.col(score_col) * F.pow(F.lit(rate), days_old.cast("double"))
     )
+
+
+# FLEXIBLE-mode constants (reference retriever.py:1054-1068): out-of-range
+# results keep half weight decayed 0.9^days; in-range results get up to a
+# 1.5x boost by their relative position inside the window.
+FLEX_OUT_WEIGHT = 0.5
+FLEX_OUT_RATE = 0.9
+FLEX_IN_BASE = 1.0
+FLEX_IN_BOOST = 0.5
+# Out-of-range decay factors precomputed and QUANTIZED to 4 dp so that
+# score-column products round identically across engines (same
+# cross-engine round() rationale as temporal_nl_search — see
+# __spark_entry__.q_temporal_nl_search). 256 days of 0.9-decay underflows
+# 4 dp well before the table ends (0.5*0.9^81 < 5e-5 -> factor 0.0).
+FLEX_N_FACTORS = 256
+
+
+def flex_out_factors(n: int = FLEX_N_FACTORS) -> list[float]:
+    return [round(FLEX_OUT_WEIGHT * FLEX_OUT_RATE**i, 4) for i in range(n)]
+
+
+def temporal_flexible(
+    df,
+    ts_col: str,
+    start,
+    end,
+    now,
+    out_col: str = "temporal_score",
+):
+    """F8 FLEXIBLE temporal scoring (reference retriever.py:1054-1068,
+    the default TimeFrame.FLEXIBLE branch of _apply_temporal_scoring):
+
+      ts < start : 0.5 * 0.9^days_before   (days_before = (start-ts).days)
+      ts > end   : 0.5 * 0.9^days_after    (days_after  = (ts-end).days)
+      in range   : 1.0 + 0.5 * relative_position, where
+                   relative_position = (ts - lo).total_seconds()
+                                     / max(((end or now) - lo).total_seconds(), 1)
+                   and lo = start or ts (so start=None pins rel_pos to 0).
+
+    start / end / now are Python datetimes (start/end may be None, as in
+    the reference's Optional constraints). All arithmetic runs on
+    MICROSECOND integer epochs (unix_micros), matching datetime
+    subtraction's full precision: `.days` floors toward -inf —
+    reproduced with integer-division by 86400e6 (both branches only fire
+    on positive deltas, matching the reference control flow) — and
+    total_seconds() ratios are exact integer-ratio doubles, bit-identical
+    across engines. Pure column expressions; the out-of-range decay
+    factor is an element_at into a quantized (4 dp) literal array
+    (cross-engine-stable rounding), clamped at the table tail where
+    0.5*0.9^i has underflowed 4 dp to 0.0 anyway.
+    """
+    from pyspark.sql import functions as F
+
+    us_per_day = 86_400_000_000
+    # tz-independent epoch micros: TIMESTAMP_NTZ (parquet naive) diffs
+    # against the naive epoch; TIMESTAMP uses unix_micros directly
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts_us = F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {ts_col})"
+        )
+    else:
+        ts_us = F.unix_micros(F.col(ts_col))
+    facs = F.array(*[F.lit(x) for x in flex_out_factors()])
+
+    def _fac(days_col):
+        idx = F.least(days_col, F.lit(FLEX_N_FACTORS - 1)).cast("int")
+        return F.element_at(facs, idx + 1)
+
+    def _us(dt) -> int:
+        # naive datetimes are UTC by convention (the engine stores naive
+        # timestamps; unix_micros reads parquet's stored epoch directly)
+        import datetime as _dt
+
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+    now_us = _us(now)
+    start_us = _us(start) if start is not None else None
+    end_us = _us(end) if end is not None else None
+
+    lo = F.lit(start_us).cast("long") if start_us is not None else ts_us
+    hi = F.lit(end_us if end_us is not None else now_us).cast("long")
+    rel = (ts_us - lo).cast("double") / F.greatest(
+        (hi - lo).cast("double"), F.lit(1.0)
+    )
+    in_range = F.lit(FLEX_IN_BASE) + F.lit(FLEX_IN_BOOST) * rel
+
+    def _days(delta_us):
+        # exact positive floor-division on longs: subtract the remainder
+        # first so the double division is over an exact multiple of the
+        # day (no float rounding can cross an integer boundary)
+        whole = delta_us - F.pmod(delta_us, F.lit(us_per_day))
+        return (whole.cast("double") / F.lit(float(us_per_day))).cast("int")
+
+    score = in_range
+    if end_us is not None:
+        score = F.when(ts_us > end_us, _fac(_days(ts_us - F.lit(end_us)))).otherwise(
+            score
+        )
+    if start_us is not None:
+        score = F.when(
+            ts_us < start_us, _fac(_days(F.lit(start_us) - ts_us))
+        ).otherwise(score)
+    return df.withColumn(out_col, score)

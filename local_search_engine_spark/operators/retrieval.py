@@ -28,14 +28,21 @@ from .similarity import cosine_scores
 
 
 def _ranked(scores, score_col: str, id_col: str, k: int):
+    """round(6) → orderBy().limit(k) → rank. The limit is FIRST so Spark
+    plans a TakeOrderedAndProject (per-partition k-heap + driver merge)
+    over the unbounded scores domain; the single-partition row_number
+    window then runs over ≤k rows, never over every matched doc."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    top = (
+        scores.withColumn(score_col, F.round(score_col, 6))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )
     w = Window.orderBy(F.desc(score_col), F.asc(id_col))
     return (
-        scores.withColumn(score_col, F.round(score_col, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(F.col(id_col).alias("id"), "rank")
     )
 
