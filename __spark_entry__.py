@@ -190,6 +190,8 @@ ANN_LSH_BITS = 4  # 2^4 buckets over ~500 vecs => ~31 candidates/bucket
 CHUNK_SIZE = 120
 CHUNK_OVERLAP = 20
 SC_K, SC_WD, SC_WS = 50, 0.6, 0.4
+SIMHASH_MAX_D = 3
+SIMHASH_BANDS = 4
 SPELL_TOKENS = ["merg", "window", "query", "tabel", "zzzznotaterm"]
 SPELL_MAX_D = 1
 HYBRID_QUERY = "how to implement merge join"
@@ -348,6 +350,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming-neighbour pairs — EXACT for max_hamming=3
+    with 4 bands (pigeonhole), so the oracle is the brute-force all-pairs
+    popcount, not a banded replica."""
+    from pyspark.sql import functions as F
+
+    pairs = D.simhash_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        max_hamming=SIMHASH_MAX_D, n_bands=SIMHASH_BANDS,
+    )
+    return pairs.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (SRP-LSH) embedding near-dup: same-bucket candidate
+    pairs, exact-cosine verified, top-50 by rounded cosine. The oracle
+    reproduces the deterministic md5 hyperplanes, so the bucket
+    structure is bit-identical across engines."""
+    from pyspark.sql import functions as F
+
+    pairs = D.embedding_neardup_lsh_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=-1.0, bits=ANN_LSH_BITS
+    )
+    return _limit_rank(
+        pairs.withColumn("cosine", F.round("cosine", 6)),
+        [F.desc("cosine"), F.asc("a"), F.asc("b")],
+        50,
+    ).select("rank", "a", "b", "cosine")
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,7 +893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_top_pairs": q_emb_neardup,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine,
         "ann_srp_lsh_topk": q_ann_lsh,
         "text_lang_id": q_lang_id,
@@ -1110,6 +1144,44 @@ bits AS (SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS s
 SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (1::bigint << j::int) ELSE 0 END)::bigint AS simhash
 FROM bits GROUP BY 1
+""",
+        "dedup_simhash_pairs": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tf AS (SELECT doc_id, tok AS term, count(*)::bigint AS tf
+       FROM tok, unnest(toks) AS u(tok) GROUP BY 1, 2),
+tfh AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::bigint AS h FROM tf),
+bits AS (SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS s
+         FROM tfh CROSS JOIN range({D.SIMHASH_BITS}) t(j) GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+        sum(CASE WHEN s > 0 THEN (1::bigint << j::int) ELSE 0 END)::bigint AS simhash
+        FROM bits GROUP BY 1)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash))::int AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_D}
+""",
+        "dedup_embedding_lsh": f"""
+WITH hp AS (SELECT j, d,
+            (('0x' || substr(md5('srp:' || j || ':' || d), 1, 8))::bigint
+              / 2147483648.0 - 1.0) AS v
+            FROM range({ANN_LSH_BITS}) t(j), range(64) u(d)),
+proj AS (SELECT e.vec_id, hp.j, sum(e.embedding[hp.d + 1]::double * hp.v) AS p
+         FROM embeddings e CROSS JOIN hp GROUP BY 1, 2),
+bucket AS (SELECT vec_id, sum(CASE WHEN p > 0 THEN (1::bigint << j::int) ELSE 0 END)::bigint AS b
+           FROM proj GROUP BY 1),
+cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+         FROM bucket x JOIN bucket y ON x.b = y.b AND x.vec_id < y.vec_id),
+ev AS (SELECT vec_id, i, embedding[i]::double AS v
+       FROM embeddings, range(1, 65) t(i)),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ev GROUP BY 1),
+dots AS (SELECT c.a, c.b, sum(x.v * y.v) AS d
+         FROM cand c JOIN ev x ON x.vec_id = c.a JOIN ev y ON y.vec_id = c.b AND y.i = x.i
+         GROUP BY 1, 2),
+cos AS (SELECT a, b, round(d / (na.n * nb.n), 6) AS cosine
+        FROM dots JOIN norms na ON a = na.vec_id JOIN norms nb ON b = nb.vec_id)
+SELECT rank, a, b, cosine FROM (
+  SELECT row_number() OVER (ORDER BY cosine DESC, a, b)::int AS rank, a, b, cosine
+  FROM cos) WHERE rank <= 50
 """,
         "dedup_embedding_top_pairs": """
 WITH ev AS (SELECT vec_id, i, embedding[i]::double AS v

@@ -16,8 +16,13 @@ Scale notes (designed for a 1000-executor cluster, tested on local[32]):
     only candidate pairs. Hot buckets (boilerplate shingles) are bounded
     by banding; a df-style cap on pathological buckets is exposed via
     max_bucket_size.
-  * simhash: per-doc signature via one explode + two aggregations; join
-    on rotated signature bands would give Hamming-neighbour candidates.
+  * simhash: per-doc signature via one explode + two aggregations;
+    simhash_pairs bands the signature for Hamming-neighbour candidates
+    (EXACT for max_hamming < n_bands by pigeonhole).
+  * embedding near-dup: embedding_neardup_lsh_pairs is the bucketed
+    scale path (SRP buckets -> in-bucket pairs -> exact cosine verify);
+    embedding_neardup_pairs stays as the all-pairs oracle/verification
+    path for small N.
 """
 
 from __future__ import annotations
@@ -120,22 +125,21 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
+def minhash_wide(
     docs,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     shingles=None,
 ):
-    """(doc_id, perm, sig): MinHash signature rows, perm in 0..N_PERMS-1.
+    """(doc_id, s0..s{N_PERMS-1}): one wide MinHash signature row per doc.
 
     sig(doc, p) = min over shingles of ((a_p * h32(shingle) + b_p) mod P).
     All N_PERMS mins are computed in ONE groupBy(doc_id) with N_PERMS
     min-expressions — map-side partial aggregation shrinks each input
     partition to one 16-column row per doc before the (unskewed,
-    doc-keyed) shuffle. This beats exploding the perm dimension by ~N_PERMS×
-    in shuffled rows. posexplode of the final 16-wide row restores the
-    tall (doc_id, perm, sig) shape downstream code expects.
+    doc-keyed) shuffle. This beats exploding the perm dimension by
+    ~N_PERMS× in shuffled rows.
 
     shingles: optionally pass a precomputed doc_shingles() DataFrame so
     callers (minhash_lsh_pairs) share one cached shingle scan between
@@ -156,12 +160,53 @@ def minhash_signatures(
         ).alias(f"s{p}")
         for p in range(N_PERMS)
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles=None,
+):
+    """(doc_id, perm, sig): tall MinHash signature rows, perm in
+    0..N_PERMS-1 — a posexplode of minhash_wide's per-doc row (the tall
+    shape is presentation; all aggregation work happens wide)."""
+    from pyspark.sql import functions as F
+
+    wide = minhash_wide(docs, text_col, id_col, n, shingles=shingles)
     return wide.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"s{p}") for p in range(N_PERMS)])).alias(
             "perm", "sig"
         ),
+    )
+
+
+def bucket_pairs(grouped, ids_col: str = "ids"):
+    """(a, b) candidate pairs from a bucketed (…, ids array) DataFrame —
+    all i<j pairs generated INSIDE the array with JVM expressions
+    (array_sort → slice → flatten), so pair expansion costs zero extra
+    shuffle (vs the classic explode-twice self-join, which shuffles the
+    bucket table two more times). Bucket sizes must be pre-capped — a
+    B-doc bucket emits B(B-1)/2 pairs."""
+    from pyspark.sql import functions as F
+
+    ids_s = F.array_sort(F.col(ids_col))
+    pairs = F.flatten(
+        F.transform(
+            ids_s,
+            lambda x, i: F.transform(
+                F.slice(ids_s, i + 2, F.size(ids_s)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
     )
 
 
@@ -173,37 +218,67 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    metrics: dict | None = None,
 ):
     """MinHash + LSH banded candidate generation, then EXACT Jaccard
     verification of candidates only — the scale path for near-dedup.
 
-    Band key = csv of the band's signature rows; docs sharing any band
-    key are candidates. max_bucket_size drops pathological boilerplate
-    buckets (logged cap — a bucket of B docs yields B^2 pairs).
-    Returns (a, b, jaccard) with jaccard >= threshold, verified exactly.
+    Band key = csv of the band's signature values (built straight from
+    the wide per-doc signature row — no per-perm explode/regroup
+    shuffle); docs sharing any band key are candidates, with all i<j
+    pairs generated inside the bucket array (bucket_pairs — no self-join
+    shuffle). max_bucket_size drops pathological boilerplate buckets;
+    the drop is OBSERVED, not silent: pass metrics={} and, after any
+    action on the result, metrics["observation"].get returns
+    {n_buckets, dropped_buckets, dropped_pairs_ub, max_bucket_size_seen}
+    (Spark Observation — collected during the main action, zero extra
+    jobs). Returns (a, b, jaccard) with jaccard >= threshold, verified
+    exactly against the shingle sets.
     """
     from pyspark.sql import functions as F
 
     rows_per_band = N_PERMS // bands
     sh = doc_shingles(docs, text_col, id_col, n).cache()
-    sig = minhash_signatures(docs, text_col, id_col, n, shingles=sh)
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(",", F.transform(F.array_sort(F.collect_list(F.struct("perm", "sig"))), lambda s: s["sig"].cast("string"))).alias("band_key")
+    wide = minhash_wide(docs, text_col, id_col, n, shingles=sh)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"s{p}").cast("string")
+                    for p in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = wide.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    )
+    sized = banded.groupBy("band", "band_key").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+    if metrics is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        sized = sized.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                F.when(F.size("ids") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped_buckets"),
+            F.sum(
+                F.when(
+                    F.size("ids") > max_bucket_size,
+                    F.size("ids").cast("long") * (F.size("ids") - 1) / 2,
+                ).otherwise(F.lit(0))
+            ).alias("dropped_pairs_ub"),
+            F.max(F.size("ids")).alias("max_bucket_size_seen"),
         )
-    )
-    sized = banded.groupBy("band", "band_key").agg(F.collect_list("doc_id").alias("ids"))
+        metrics["observation"] = obs
     capped = sized.filter(F.size("ids") <= max_bucket_size)
-    x = capped.select("band", "band_key", F.explode("ids").alias("a"))
-    y = capped.select("band", "band_key", F.explode("ids").alias("b"))
-    cand = (
-        x.join(y, ["band", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    cand = bucket_pairs(capped)
     # exact verification join against the SAME cached shingle sets,
     # candidates only
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -261,6 +336,133 @@ def simhash_signatures(docs, text_col: str = "text", id_col: str = "doc_id"):
         )
         packed = bit if packed is None else packed + bit
     return wide.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+):
+    """SimHash Hamming-neighbour near-dup pairs: (a, b, hamming) with
+    popcount(xor(sig_a, sig_b)) <= max_hamming.
+
+    The 32-bit signature is banded into n_bands disjoint chunks; docs
+    sharing ANY band value are candidates; candidates are verified with
+    an exact popcount. EXACT (not approximate) whenever
+    max_hamming < n_bands — pigeonhole: ≤(n_bands-1) differing bits over
+    n_bands disjoint chunks leaves at least one chunk identical, so every
+    qualifying pair lands in some shared bucket. Plan shape: signature
+    aggs → one explode(n_bands) → bucket groupBy → in-array pair gen →
+    popcount filter; the only shuffles are the signature agg and the
+    bucket groupBy, both on unskewed keys.
+    """
+    from pyspark.sql import functions as F
+
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded candidate generation is only exact for max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    bits_per_band = SIMHASH_BITS // n_bands
+    mask = (1 << bits_per_band) - 1
+    sig = simhash_signatures(docs, text_col, id_col)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * bits_per_band).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_vals).alias("band", "band_val"))
+    grouped = banded.groupBy("band", "band_val").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+    cand = bucket_pairs(grouped)
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_neardup_lsh_pairs(
+    embeddings,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    max_bucket_size: int = 10_000,
+    metrics: dict | None = None,
+):
+    """Bucketed embedding near-dup: SRP-LSH bucket (similarity.py
+    hyperplanes — deterministic, oracle-reproducible) → in-bucket
+    candidate pairs (bucket_pairs, no self-join shuffle) → EXACT cosine
+    verification of candidates only. The 100 TB path for what
+    embedding_neardup_pairs does all-pairs: candidate volume is
+    Σ_bucket B², not n².
+
+    Approximate by construction: a near-dup pair split by a hyperplane
+    is missed; more `bits` → smaller buckets but more misses (standard
+    SRP trade-off — run with several independent plane sets and union
+    for higher recall). Same Observation-based metrics contract as
+    minhash_lsh_pairs (n_buckets / dropped_buckets / dropped_pairs_ub /
+    max_bucket_size_seen). Returns (a, b, cosine) with
+    cosine >= threshold.
+    """
+    from pyspark.sql import functions as F
+
+    from .similarity import srp_lsh_buckets
+
+    buckets = srp_lsh_buckets(embeddings, dim, bits, id_col, vec_col)
+    grouped = buckets.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
+    if metrics is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        grouped = grouped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                F.when(F.size("ids") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped_buckets"),
+            F.sum(
+                F.when(
+                    F.size("ids") > max_bucket_size,
+                    F.size("ids").cast("long") * (F.size("ids") - 1) / 2,
+                ).otherwise(F.lit(0))
+            ).alias("dropped_pairs_ub"),
+            F.max(F.size("ids")).alias("max_bucket_size_seen"),
+        )
+        metrics["observation"] = obs
+    capped = grouped.filter(F.size("ids") <= max_bucket_size)
+    cand = bucket_pairs(capped)
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    va = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
 
 
 def embedding_neardup_pairs(embeddings, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95):
