@@ -192,6 +192,7 @@ CHUNK_OVERLAP = 20
 SC_K, SC_WD, SC_WS = 50, 0.6, 0.4
 SIMHASH_MAX_D = 3
 SIMHASH_BANDS = 4
+EMBED_DIM = 16
 SPELL_TOKENS = ["merg", "window", "query", "tabel", "zzzznotaterm"]
 SPELL_MAX_D = 1
 HYBRID_QUERY = "how to implement merge join"
@@ -695,19 +696,23 @@ def q_answer_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming ingest (streaming/merge.py stream_ingest):
-    base index over doc_id < 250, the rest dropped into a watched dir as
-    two parquet files, consumed with trigger(availableNow) through
-    foreachBatch merge. The merged df/idf must equal a from-scratch
-    build over ALL docs — so the oracle is the plain full-corpus idf SQL
-    (same as index_merge_incremental)."""
+    """Structured Streaming ingest through the SCALE path
+    (streaming/merge.py PersistedIndexState): base docs land as batch
+    -1's parquet delta, the rest dropped into a watched dir as two
+    parquet files, consumed with trigger(availableNow) through
+    foreachBatch appends (O(batch) work each, bounded lineage). The
+    loaded df/idf must equal a from-scratch build over ALL docs — the
+    oracle is the plain full-corpus idf SQL (same as
+    index_merge_incremental)."""
     import os
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from local_search_engine_spark.operators.build import build_index_from
-    from local_search_engine_spark.streaming.merge import stream_ingest
+    from local_search_engine_spark.streaming.merge import (
+        PersistedIndexState,
+        stream_ingest,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="lse_stream_")
@@ -716,14 +721,14 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.filter("doc_id >= 250 AND doc_id % 2 = 0").write.mode("append").parquet(watch)
     docs.filter("doc_id >= 250 AND doc_id % 2 = 1").write.mode("append").parquet(watch)
 
-    base = build_index_from(docs.filter("doc_id < 250"), text_col="text", cache=False)
-    state = {"index": base}
+    state = PersistedIndexState(spark, os.path.join(tmp, "state"))
+    state.append_batch(docs.filter("doc_id < 250"), batch_id=-1, text_col="text")
     q = stream_ingest(
         spark, watch, state, "doc_id long, text string",
         text_col="text", checkpoint_dir=os.path.join(tmp, "ckpt"),
     )
     q.awaitTermination(300)
-    merged = state["index"]
+    merged = state.load_index()
     return merged.idf.select(
         "term",
         F.col("df").cast("long").alias("df"),
@@ -762,6 +767,60 @@ def q_temporal_nl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "value", F.round("decayed", 6).alias("decayed")
     )
+
+
+def q_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 embedding-generation seam (reference preprocessing.py:85-127):
+    text → array<double> via Arrow mapInPandas with a lazily-constructed
+    per-worker encoder; the deterministic stub encoder (md5-derived
+    components, exact dyadic rationals) lets the oracle reproduce every
+    component bit-for-bit. Output exploded to (doc_id, d, component)
+    rows — string/scalar hashing is portable across engines, array
+    hashing is not."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.functions.embed import embed_docs
+
+    emb = embed_docs(_docs(spark, sf_dir), "text", "doc_id", dim=EMBED_DIM)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("d", "component")
+    ).select(
+        "doc_id",
+        F.col("d").cast("int").alias("d"),
+        F.round("component", 6).alias("component"),
+    )
+
+
+def q_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5 as one driver gate: build_persisted_index (manifest-keyed
+    parquet index sink) → load_index (source) → block-max WAND top-k over
+    the LOADED index; the oracle is the same brute-force BM25 SQL as
+    bm25_wand_topk, so persistence round-trip errors (schema drift, lost
+    rows, stats skew) surface as rank/hash mismatches."""
+    import tempfile
+
+    from local_search_engine_spark.operators.wand import make_wand_topk
+    from local_search_engine_spark.plans.checkpoint import (
+        build_persisted_index,
+        load_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx_dir = tempfile.mkdtemp(prefix="lse_persist_gate_")
+    build_persisted_index(
+        spark,
+        docs,
+        idx_dir,
+        docs_per_shard=DOCS_PER_SHARD,
+        block_span=BLOCK_SPAN,
+        n_buckets=8,
+        pre_identified=True,
+        text_col="text",
+    )
+    idx, postings, shard_meta, _stats = load_index(spark, idx_dir)
+    wand = make_wand_topk(idx, postings, shard_meta, block_span=BLOCK_SPAN)
+    raw = wand(Q_MULTI, 20 + 32, prune=True).select("doc_id", "score")
+    return _ranked_topk(raw, 20)
 
 
 def q_temporal_flexible(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_corrected_search": q_spell_corrected_search,
         "temporal_nl_search": q_temporal_nl_search,
         "temporal_flexible": q_temporal_flexible,
+        "embed_docs": q_embed_docs,
+        "index_persist_roundtrip": q_index_persist,
     }
 
 
@@ -1476,6 +1537,13 @@ SELECT event_id, event_type, value,
 FROM events
 WHERE ts >= timestamp '{_tstart}' AND ts <= timestamp '{_tend}'
 """,
+        "embed_docs": f"""
+SELECT doc_id, d::int AS d,
+       round((('0x' || substr(md5(md5(text) || ':' || d), 1, 8))::bigint
+              / 2147483648.0 - 1.0), 6) AS component
+FROM documents, range({EMBED_DIM}) t(d)
+""",
+        "index_persist_roundtrip": _bm25_sql(Q_MULTI, 20),
         "temporal_flexible": f"""
 WITH e AS (SELECT event_id, event_type, value, epoch_us(ts) AS tus FROM events),
 p AS (SELECT *,

@@ -71,12 +71,19 @@ class Manifest:
 
 def corpus_fingerprint(corpus, params) -> str:
     """Cheap-but-honest input lineage: row count + order-independent XOR
-    of per-row key hashes + build params. One extra scan at build start."""
+    of per-row key hashes + build params. One extra scan at build start.
+    Keys on (repo, path, commit) for input_hint corpora; for
+    pre-identified tables the unique doc_id IS the key."""
     from pyspark.sql import functions as F
 
+    key = (
+        "xxhash64(repo, path, commit)"
+        if "repo" in corpus.columns
+        else "xxhash64(doc_id)"
+    )
     row = corpus.agg(
         F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(repo, path, commit))").alias("h"),
+        F.expr(f"bit_xor({key})").alias("h"),
     ).first()
     return f"n={row['n']};h={row['h']};k1={params.k1};b={params.b};eps={params.epsilon}"
 
@@ -91,6 +98,8 @@ def build_persisted_index(
     n_buckets: int = 64,
     n_groups: int = 8,
     only_groups: list[int] | None = None,
+    pre_identified: bool = False,
+    text_col: str = "content",
 ):
     """Build (or resume) the full compressed index at index_dir.
 
@@ -98,12 +107,16 @@ def build_persisted_index(
     — used by the resume test to simulate a killed build; production use
     is per-group retry isolation.
 
+    pre_identified: the corpus already carries a unique doc_id bigint +
+    text_col (e.g. the testdata `documents` table) — skip the canonical
+    (repo, path, commit) id assignment and index it as-is.
+
     Returns the manifest (with per-unit skip/build lineage).
     """
     from pyspark.sql import functions as F
 
     from ..functions.codec import DEFAULT_BLOCK_SPAN
-    from ..operators.build import BM25Params, build_index
+    from ..operators.build import BM25Params, build_index, build_index_from
     from ..operators.postings import build_postings
 
     params = params or BM25Params()
@@ -121,7 +134,10 @@ def build_persisted_index(
         man.mark(unit, fp, run_id, wall_ms=int((time.time() - t0) * 1000), **metrics)
         return True
 
-    idx = build_index(corpus, params=params, cache=True)
+    if pre_identified:
+        idx = build_index_from(corpus, text_col=text_col, params=params, cache=True)
+    else:
+        idx = build_index(corpus, params=params, cache=True)
 
     def write_docs():
         idx.docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))

@@ -10,14 +10,28 @@ The index state that must merge is exactly three associative pieces:
 idf/avgdl are DERIVED (non-associative: epsilon floor needs the global
 avg of raw idf), so they are recomputed from merged df/stats — cheap
 (vocabulary-sized), and the result is IDENTICAL to a from-scratch build
-over the union corpus (tests/test_merge.py asserts this).
+over the union corpus (tests/test_streaming.py asserts this).
 
-On Iceberg this is `append` of tf-shards + a compaction of the df table
-(MERGE INTO term ... WHEN MATCHED THEN UPDATE SET df = df + delta);
-in the sandbox both sides are DataFrames.
+Two shapes live here:
+
+  * merge_index — in-memory DataFrame merge of TWO indexes (one-shot
+    batch append; the index_merge_incremental gate). Fine for a single
+    merge; do NOT loop it — N merges build an N-deep union lineage.
+  * PersistedIndexState — the SCALE path for continuous ingest: each
+    batch appends O(batch) parquet (tf + docs deltas under
+    batch=<id>/ dirs, idempotent per batch id, so re-delivered batches
+    are exactly-once), NOTHING global is recomputed per batch, and any
+    later read is a flat parquet scan — plan depth is CONSTANT in the
+    number of batches. df/idf/avgdl are derived once at load_index()
+    time (vocabulary-scale work). On Iceberg the appends become table
+    appends and load-time df becomes MERGE-maintained; the layout here
+    is the plain-parquet equivalent.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from ..operators.build import BM25Params, InvertedIndex, idf_table
 
@@ -67,32 +81,134 @@ def merge_index(old: InvertedIndex, new_docs_with_id, text_col: str = "content")
     )
 
 
+class PersistedIndexState:
+    """Parquet-backed incremental index state with bounded lineage.
+
+    Layout under state_dir/:
+      tf/batch=<id>/    (doc_id, term, tf) rows for that batch only
+      docs/batch=<id>/  (doc_id, doc_len) rows for that batch only
+      _batches.json     {batch_id: {"n_docs": .., "rows": ..}} commit log
+
+    append_batch(docs) tokenizes ONLY the batch and writes its deltas —
+    per-batch cost is O(batch), independent of how much state exists
+    (the append plan never reads prior state). The per-batch-dir
+    overwrite + commit-log check makes re-delivered batch ids exactly-
+    once. load_index() is one flat parquet scan over all deltas plus the
+    vocabulary-scale df/idf derivation — identical output to a
+    from-scratch build over the union corpus. Doc-id uniqueness across
+    batches is the caller's contract (appended docs get new ids), same
+    as merge_index.
+    """
+
+    def __init__(self, spark, state_dir: str, params: BM25Params | None = None):
+        self.spark = spark
+        self.dir = state_dir
+        self.params = params or BM25Params()
+        self._log_path = os.path.join(state_dir, "_batches.json")
+        os.makedirs(state_dir, exist_ok=True)
+        self._log: dict[str, dict] = {}
+        if os.path.exists(self._log_path):
+            with open(self._log_path) as f:
+                self._log = json.load(f)
+
+    def committed(self, batch_id: int) -> bool:
+        return str(batch_id) in self._log
+
+    def append_batch(self, docs_with_id, batch_id: int, text_col: str = "content"):
+        """Tokenize + write this batch's tf/docs deltas. Idempotent per
+        batch_id; returns the commit-log entry (None if already done)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.build import term_frequencies, tokenized_docs
+
+        if self.committed(batch_id):
+            return None
+        tok = tokenized_docs(docs_with_id, text_col=text_col)
+        tf = term_frequencies(tok).cache()
+        tf.write.mode("overwrite").parquet(
+            os.path.join(self.dir, "tf", f"batch={batch_id}")
+        )
+        doc_lens = tf.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doc_len"))
+        docs = (
+            docs_with_id.select("doc_id")
+            .join(doc_lens, "doc_id", "left")
+            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+        )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(self.dir, "docs", f"batch={batch_id}")
+        )
+        entry = {"rows": tf.count(), "n_docs": docs_with_id.count()}
+        tf.unpersist()
+        self._log[str(batch_id)] = entry
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._log, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._log_path)
+        return entry
+
+    def load_index(self) -> InvertedIndex:
+        """Flat-scan the accumulated deltas → full InvertedIndex. Plan
+        depth is constant in batch count; df/idf/avgdl derived once."""
+        from pyspark.sql import functions as F
+
+        from ..operators.build import doc_freqs
+
+        tf = self.spark.read.parquet(os.path.join(self.dir, "tf"))
+        docs = self.spark.read.parquet(os.path.join(self.dir, "docs"))
+        row = docs.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).first()
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+        idf, avg_idf = idf_table(doc_freqs(tf), n_docs, self.params.epsilon)
+        return InvertedIndex(
+            docs=docs,
+            tf=tf,
+            idf=idf,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            avg_idf=avg_idf,
+            params=self.params,
+        )
+
+
 def stream_ingest(
     spark,
     source_dir: str,
-    index_state: dict,
+    index_state,
     schema: str,
     id_offset_col: str = "doc_id",
     text_col: str = "content",
     checkpoint_dir: str | None = None,
 ):
     """Structured Streaming ingest: watch source_dir for new corpus
-    files; each micro-batch merges into the index via foreachBatch
-    (the standard pattern for stateful sinks Spark doesn't ship).
+    files; each micro-batch lands in the index via foreachBatch (the
+    standard pattern for stateful sinks Spark doesn't ship).
 
-    index_state: {"index": InvertedIndex} mutated per batch — batch
-    boundaries give exactly-once merge semantics together with the
-    idempotent merge_tf re-aggregation. Returns the StreamingQuery
-    (caller awaits/stops it).
+    index_state is either
+      * a PersistedIndexState — the scale path: each batch appends its
+        O(batch) delta; exactly-once via the per-batch commit log on top
+        of the streaming checkpoint; or
+      * a {"index": InvertedIndex} dict — the legacy in-memory merge
+        (bounded batch counts only: lineage grows per merge).
+    Returns the StreamingQuery (caller awaits/stops it).
     """
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
-    def on_batch(batch_df, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        index_state["index"] = merge_index(
-            index_state["index"], batch_df, text_col=text_col
-        )
+    if isinstance(index_state, PersistedIndexState):
+
+        def on_batch(batch_df, batch_id: int):
+            if batch_df.isEmpty():
+                return
+            index_state.append_batch(batch_df, batch_id, text_col=text_col)
+
+    else:
+
+        def on_batch(batch_df, batch_id: int):
+            if batch_df.isEmpty():
+                return
+            index_state["index"] = merge_index(
+                index_state["index"], batch_df, text_col=text_col
+            )
 
     writer = stream.writeStream.foreachBatch(on_batch).trigger(availableNow=True)
     if checkpoint_dir:

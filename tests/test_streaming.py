@@ -56,3 +56,56 @@ def test_stream_merge_equals_rebuild(spark, tmp_path):
     q2 = stream_ingest(spark, watch, state2, SCHEMA, text_col="text", checkpoint_dir=ckpt)
     q2.awaitTermination(60)
     assert state2["index"].n_docs == 100
+
+
+def test_persisted_state_many_batches_bounded(spark, tmp_path):
+    """The scale path: 12 batches through PersistedIndexState.
+
+    - loaded idf == from-scratch build over the union (exactness);
+    - re-delivered batch ids are no-ops (exactly-once);
+    - append cost does not grow with accumulated state: the append plan
+      never reads the state dir, and late-batch wall time stays within a
+      generous factor of early-batch wall time;
+    - the loaded index's plan depth is a flat scan, not an N-deep union.
+    """
+    import time
+
+    from local_search_engine_spark.streaming.merge import PersistedIndexState
+
+    state = PersistedIndexState(spark, str(tmp_path / "state"))
+    n_batches, per = 12, 10
+    walls = []
+    for b in range(n_batches):
+        batch = mkdocs(spark, b * per, (b + 1) * per)
+        t0 = time.time()
+        entry = state.append_batch(batch, batch_id=b, text_col="text")
+        walls.append(time.time() - t0)
+        assert entry is not None and entry["n_docs"] == per
+    # exactly-once: re-delivery is a no-op
+    assert state.append_batch(mkdocs(spark, 0, per), batch_id=0, text_col="text") is None
+
+    merged = state.load_index()
+    full = build_index_from(mkdocs(spark, 0, n_batches * per), text_col="text", cache=False)
+    assert merged.n_docs == full.n_docs == n_batches * per
+    assert abs(merged.avgdl - full.avgdl) < 1e-9
+    got = {
+        r.term: (r.df, round(r.idf, 12))
+        for r in merged.idf.select("term", "df", "idf").collect()
+    }
+    want = {
+        r.term: (r.df, round(r.idf, 12))
+        for r in full.idf.select("term", "df", "idf").collect()
+    }
+    assert got == want
+
+    # bounded append cost: last-3 average within 3x of first-3 average
+    # (same-sized batches; any per-batch state re-aggregation would grow
+    # this linearly — 12x state means >> 3x if O(total) work leaked in)
+    early = sum(walls[:3]) / 3
+    late = sum(walls[-3:]) / 3
+    assert late < 3 * early + 0.5, f"append wall grew: early={early:.2f}s late={late:.2f}s"
+
+    # flat lineage: the loaded tf is ONE parquet scan (12 batch dirs, one
+    # relation), not a 12-deep union plan
+    plan = merged.tf._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1 and "Union" not in plan
