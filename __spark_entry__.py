@@ -187,6 +187,7 @@ DECAY_NOW = "2024-02-01"
 DECAY_RATE = 0.95
 ANN_K = 10
 ANN_LSH_BITS = 4  # 2^4 buckets over ~500 vecs => ~31 candidates/bucket
+ANN_PROBE_R = 1  # multi-probe: query bucket + its 4 Hamming-1 neighbours
 CHUNK_SIZE = 120
 CHUNK_OVERLAP = 20
 SC_K, SC_WD, SC_WS = 50, 0.6, 0.4
@@ -432,6 +433,30 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "id", "cosine")
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH ANN: candidates from all buckets within
+    Hamming distance ANN_PROBE_R of the query bucket — the recall
+    fallback when the exact bucket holds < k vectors."""
+    from pyspark.sql import functions as F
+
+    q = _q_vec(spark, sf_dir, 0)
+    # fetch k+32 by raw cosine (pruned, exact), then apply the shared
+    # rounded-rank cut — same boundary-stability pattern as bm25_wand
+    out = SIM.srp_lsh_topk(
+        _emb(spark, sf_dir).filter("vec_id <> 0"),
+        q,
+        k=ANN_K + 32,
+        dim=64,
+        bits=ANN_LSH_BITS,
+        probe_hamming=ANN_PROBE_R,
+    )
+    return _limit_rank(
+        out.select("id", F.round("cosine", 6).alias("cosine")),
+        [F.desc("cosine"), F.asc("id")],
+        ANN_K,
+    ).select("rank", "id", "cosine")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -529,6 +554,29 @@ def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_search_engine_spark.operators.chunking import chunk_docs
 
     out = chunk_docs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "start_char",
+        "end_char",
+        "chunk_text",
+    )
+
+
+def q_chunk_split_separators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separator-aware compat-mode chunking (reference
+    preprocessing.py:300-305 semantics, exact offsets). Greedy packing is
+    stateful per document — genuinely non-SQL-expressible, so this gate
+    is rows-only (no oracle_sql entry); exactness vs the pure-Python
+    chunk_spans is pinned by tests/test_chunking.py."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.chunking import chunk_docs_separators
+
+    out = chunk_docs_separators(
         _docs(spark, sf_dir), "text", "doc_id",
         chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
     )
@@ -957,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine,
         "ann_srp_lsh_topk": q_ann_lsh,
+        "ann_srp_lsh_multiprobe": q_ann_lsh_multiprobe,
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
@@ -966,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_frame_sample,
         "index_merge_incremental": q_index_merge,
         "chunk_split": q_chunk_split,
+        "chunk_split_separators": q_chunk_split_separators,
         "score_combine": q_score_combine,
         "results_by_source": q_results_by_source,
         "spell_correct": q_spell_correct,
@@ -1280,6 +1330,31 @@ bucket AS (SELECT vec_id, sum(CASE WHEN p > 0 THEN (1::bigint << j::int) ELSE 0 
            FROM proj GROUP BY 1),
 qb AS (SELECT b FROM bucket WHERE vec_id = 0),
 cands AS (SELECT vec_id FROM bucket WHERE b = (SELECT b FROM qb) AND vec_id <> 0),
+ev AS (SELECT vec_id, i, embedding[i]::double AS v
+       FROM embeddings, range(1, 65) t(i)),
+qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM qv),
+dots AS (SELECT ev.vec_id, sum(ev.v * qv.v) AS d, sum(ev.v * ev.v) AS n2
+         FROM ev JOIN qv USING (i) JOIN cands c ON ev.vec_id = c.vec_id GROUP BY 1),
+cos AS (SELECT vec_id AS id, round(d / (sqrt(n2) * (SELECT n FROM qn)), 6) AS cosine
+        FROM dots)
+SELECT rank, id, cosine FROM (
+  SELECT row_number() OVER (ORDER BY cosine DESC, id)::int AS rank, id, cosine
+  FROM cos) WHERE rank <= {ANN_K}
+""",
+        "ann_srp_lsh_multiprobe": f"""
+WITH hp AS (SELECT j, d,
+            (('0x' || substr(md5('srp:' || j || ':' || d), 1, 8))::bigint
+              / 2147483648.0 - 1.0) AS v
+            FROM range({ANN_LSH_BITS}) t(j), range(64) u(d)),
+proj AS (SELECT e.vec_id, hp.j, sum(e.embedding[hp.d + 1]::double * hp.v) AS p
+         FROM embeddings e CROSS JOIN hp GROUP BY 1, 2),
+bucket AS (SELECT vec_id, sum(CASE WHEN p > 0 THEN (1::bigint << j::int) ELSE 0 END)::bigint AS b
+           FROM proj GROUP BY 1),
+qb AS (SELECT b FROM bucket WHERE vec_id = 0),
+cands AS (SELECT vec_id FROM bucket
+          WHERE bit_count(xor(b, (SELECT b FROM qb))) <= {ANN_PROBE_R}
+            AND vec_id <> 0),
 ev AS (SELECT vec_id, i, embedding[i]::double AS v
        FROM embeddings, range(1, 65) t(i)),
 qv AS (SELECT i, v FROM ev WHERE vec_id = 0),

@@ -132,21 +132,42 @@ def srp_lsh_buckets(embeddings, dim: int, bits: int = SRP_BITS, id_col: str = "v
     return v.select("id", bucket.alias("bucket"))
 
 
-def srp_lsh_topk(embeddings, query_vec, k: int, dim: int, bits: int = SRP_BITS, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Approximate top-k: score only vectors in the query's SRP bucket
-    (fallback: if the bucket holds < k vectors the caller should lower
-    `bits` — kept simple; the exactness contract belongs to cosine_topk).
-    """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
+def query_bucket(query_vec, dim: int, bits: int = SRP_BITS) -> int:
+    """The query vector's SRP bucket (driver-side, same hyperplanes)."""
     planes = srp_hyperplanes(dim, bits)
     qbucket = 0
     for j, plane in enumerate(planes):
         if sum(float(a) * float(b) for a, b in zip(query_vec, plane)) > 0:
             qbucket |= 1 << j
+    return qbucket
+
+
+def srp_lsh_topk(
+    embeddings,
+    query_vec,
+    k: int,
+    dim: int,
+    bits: int = SRP_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 0,
+):
+    """Approximate top-k: score only vectors whose SRP bucket is within
+    `probe_hamming` bit-flips of the query's bucket — standard
+    multi-probe LSH. probe_hamming=0 probes the single exact bucket;
+    raise it when the bucket may hold < k vectors (each +1 multiplies
+    candidate buckets by ~bits choose r, trading recall for work — the
+    exactness contract stays with cosine_topk). The probe is a cheap
+    bit_count filter on the bucket column, not a join explosion.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    qbucket = query_bucket(query_vec, dim, bits)
     buckets = srp_lsh_buckets(embeddings, dim, bits, id_col, vec_col)
-    cand_ids = buckets.filter(F.col("bucket") == qbucket).select("id")
+    cand_ids = buckets.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
+    ).select("id")
     s = cosine_scores(embeddings, query_vec, id_col, vec_col).join(cand_ids, "id")
     top = s.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("cosine"), F.asc("id"))

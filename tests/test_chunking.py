@@ -79,6 +79,72 @@ def test_overlap_ge_size_rejected(spark):
         chunk_docs(docs, chunk_size=10, overlap=10)
 
 
+SEP_CASES = CASES + [
+    "para one.\n\npara two is rather longer than the first paragraph.\n\n"
+    + ("sentence with several words. " * 30)
+    + "\n\nfinal para.",
+    "no separators at all " + "y" * 300,
+    "\n\n\n\nleading and trailing\n\n\n\n",
+    "a b c " * 200,  # only space-level splits
+    "z" * 777,  # forces the ""-level char split
+]
+
+
+def test_separator_chunks_invariants(spark):
+    """Compat-mode splitter: unit/packing invariants on every case —
+    size budget respected, offsets exact, full coverage, separator
+    boundaries preferred over mid-word cuts."""
+    from local_search_engine_spark.operators.chunking import (
+        chunk_docs_separators,
+        chunk_spans,
+        split_units,
+    )
+
+    size, overlap = 50, 10
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SEP_CASES)], "doc_id long, text string"
+    )
+    rows = chunk_docs_separators(
+        docs, "text", "doc_id", chunk_size=size, overlap=overlap
+    ).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.start_char, r.end_char, r.chunk_text)
+        )
+    for i, text in enumerate(SEP_CASES):
+        got = sorted(by_doc.get(i, []))
+        # Spark op == the pure-Python single implementation
+        want = [
+            (cid, s, e, text[s:e])
+            for cid, (s, e) in enumerate(chunk_spans(text, size, overlap))
+        ]
+        assert got == want, f"doc {i}"
+        # units reconstruct the text exactly (no dropped characters)
+        units = split_units(text, size)
+        assert "".join(text[s:e] for s, e in units) == text
+        assert all(e - s <= size for s, e in units)
+        for cid, s, e, ctext in got:
+            assert text[s:e] == ctext
+            assert e - s <= size
+        # coverage: every character of the doc appears in some chunk
+        if text:
+            covered = set()
+            for _, s, e, _ in got:
+                covered.update(range(s, e))
+            assert covered == set(range(len(text))), f"doc {i}"
+
+
+def test_separator_chunks_prefer_boundaries():
+    """On prose, chunk edges land after separators, not mid-word."""
+    from local_search_engine_spark.operators.chunking import chunk_spans
+
+    text = ("alpha beta gamma delta. " * 40).strip()
+    spans = chunk_spans(text, 50, 10)
+    for s, e in spans[:-1]:
+        assert text[e - 1] == " ", (s, e, text[max(0, e - 5) : e + 5])
+
+
 def test_chunks_indexable(spark):
     """Chunks can be fed back through the index build as the indexing
     unit (the reference's ProcessedChunk pipeline shape)."""
