@@ -350,6 +350,61 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-facing exact dedup: keep-min-id verdict per row (no
+    per-group id-list materialization — scale-safe against giant
+    duplicate clusters)."""
+    return D.exact_dedup_keep(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs (jaccard >= JACCARD_T) →
+    connected components by min-label propagation (localCheckpoint per
+    round, constant lineage). Oracle: the same pair SQL + a recursive-CTE
+    transitive closure taking min reachable id."""
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        n=JACCARD_N, bands=LSH_BANDS, threshold=JACCARD_T,
+    )
+    return D.connected_components(pairs).select("node", "cluster_id")
+
+
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed rollup with watermark over the
+    events stream (availableNow, memory sink, complete mode so every
+    window emits deterministically). Oracle: day-bucket GROUP BY."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.streaming.windows import windowed_event_rollup
+
+    # the streaming file source wants a DIRECTORY of files to watch
+    watch = tempfile.mkdtemp(prefix="lse_rollup_")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        watch = src
+    else:
+        shutil.copy(src, os.path.join(watch, "events.parquet"))
+    q, name = windowed_event_rollup(
+        spark,
+        watch,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+        window_len="1 day",
+        watermark="2 days",
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        F.col("window.start").cast("date").cast("string").alias("window_day"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(_docs(spark, sf_dir), "text", "doc_id")
 
@@ -997,8 +1052,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "postings_blocks": q_postings_blocks,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_neardup_clusters": q_dedup_clusters,
+        "streaming_windowed_rollup": q_streaming_window,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_top_pairs": q_emb_neardup,
@@ -1092,6 +1150,27 @@ def oracle_sql() -> dict[str, str]:
     _fx_start_us = _naive_utc_us(FLEX_START)
     _fx_end_us = _naive_utc_us(FLEX_END)
     _fx_facs = ", ".join(repr(x) for x in _fx_factors())
+    minhash_pairs_sql = f"""
+WITH {_SHINGLE_CTES},
+shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::bigint AS h FROM sh),
+perms(perm, a, b) AS (VALUES {perms_vals}),
+sig AS (SELECT doc_id, perm, min((a::bigint * h + b) % {MERSENNE_P}) AS sig
+        FROM shh CROSS JOIN perms GROUP BY 1, 2),
+banded AS (SELECT doc_id, (perm // {rpb})::int AS band,
+                  string_agg(sig::varchar, ',' ORDER BY perm) AS band_key
+           FROM sig GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT c.a, c.b, count(*) AS i
+          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                      JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+          GROUP BY 1, 2),
+j AS (SELECT a, b, i::double / (sa.n + sb.n - i) AS jac
+      FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)
+SELECT a, b, jac FROM j WHERE jac >= {JACCARD_T}
+"""
     quality_sql = f"""
 WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 m AS (SELECT doc_id,
@@ -1224,26 +1303,29 @@ j AS (SELECT a, b, i::double / (sa.n + sb.n - i) AS jac
       FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)
 SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= {JACCARD_T}
 """,
-        "dedup_minhash_lsh": f"""
-WITH {_SHINGLE_CTES},
-shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::bigint AS h FROM sh),
-perms(perm, a, b) AS (VALUES {perms_vals}),
-sig AS (SELECT doc_id, perm, min((a::bigint * h + b) % {MERSENNE_P}) AS sig
-        FROM shh CROSS JOIN perms GROUP BY 1, 2),
-banded AS (SELECT doc_id, (perm // {rpb})::int AS band,
-                  string_agg(sig::varchar, ',' ORDER BY perm) AS band_key
-           FROM sig GROUP BY 1, 2),
-cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         FROM banded x JOIN banded y
-           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (SELECT c.a, c.b, count(*) AS i
-          FROM cand c JOIN sh sa ON sa.doc_id = c.a
-                      JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
-          GROUP BY 1, 2),
-j AS (SELECT a, b, i::double / (sa.n + sb.n - i) AS jac
-      FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)
-SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= {JACCARD_T}
+        "dedup_minhash_lsh": f"SELECT a, b, round(jac, 6) AS jaccard FROM ({minhash_pairs_sql})",
+        "dedup_neardup_clusters": f"""
+WITH RECURSIVE p AS ({minhash_pairs_sql}),
+e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+reach(n, m) AS (
+  SELECT DISTINCT x AS n, x AS m FROM e
+  UNION
+  SELECT r.n, e.y FROM reach r JOIN e ON e.x = r.m
+)
+SELECT n AS node, min(m) AS cluster_id FROM reach GROUP BY n
+""",
+        "dedup_exact_keep": """
+WITH k AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+c AS (SELECT text_md5, min(doc_id) AS canonical_id FROM k GROUP BY 1)
+SELECT k.doc_id, c.canonical_id, k.doc_id <> c.canonical_id AS is_dup
+FROM k JOIN c USING (text_md5)
+""",
+        "streaming_windowed_rollup": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
+       event_type,
+       count(*)::bigint AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
 """,
         "dedup_simhash": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -109,6 +109,10 @@ def main() -> None:
         D.minhash_lsh_pairs(
             docs, "text", "doc_id", n=3, bands=4, threshold=0.7
         ).count()
+    with bench("dedup_simhash_pairs"):
+        D.simhash_pairs(docs, "text", "doc_id", max_hamming=3, n_bands=4).count()
+    with bench("dedup_embedding_lsh"):
+        D.embedding_neardup_lsh_pairs(emb, dim=64, threshold=0.9, bits=8).count()
     with bench("ann_cosine_topk"):
         qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
         (
@@ -122,6 +126,29 @@ def main() -> None:
         TS.quality_scores(docs, "text", "doc_id").count()
     with bench("text_fingerprint"):
         TS.doc_fingerprints(docs, "text", "doc_id").count()
+    with bench("embed_docs"):
+        from local_search_engine_spark.functions.embed import embed_docs
+
+        embed_docs(docs, "text", "doc_id", dim=32).count()
+    with bench("chunk_separators"):
+        from local_search_engine_spark.operators.chunking import (
+            chunk_docs_separators,
+        )
+
+        chunk_docs_separators(docs, "text", "doc_id").count()
+    with bench("temporal_flexible"):
+        import datetime
+
+        from local_search_engine_spark.operators.fusion import temporal_flexible
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        temporal_flexible(
+            ev,
+            "ts",
+            start=datetime.datetime(2024, 1, 8),
+            end=datetime.datetime(2024, 1, 15),
+            now=datetime.datetime(2024, 2, 1),
+        ).count()
     with bench("hybrid_search"):
         from local_search_engine_spark.operators.retrieval import hybrid_search
 

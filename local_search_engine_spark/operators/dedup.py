@@ -60,6 +60,79 @@ def exact_dedup_groups(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def exact_dedup_keep(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, canonical_id, is_dup): the pipeline-facing dedup verdict —
+    keep-min-id per content digest; `filter(~is_dup)` IS the deduped
+    corpus. One groupBy(md5).min + a hash join back on the digest (both
+    on the uniform 16-byte key; a pathological single-content hot cluster
+    skews its one key — AQE skew-join splits it). Unlike
+    exact_dedup_groups this never materializes per-group id lists, so a
+    10^7-copy boilerplate cluster costs rows, not one giant string."""
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5")
+    )
+    canon = keyed.groupBy("text_md5").agg(F.min("doc_id").alias("canonical_id"))
+    return keyed.join(canon, "text_md5").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
+def connected_components(pairs, max_iter: int = 20):
+    """(node, cluster_id): connected components of an (a, b) pair graph —
+    cluster_id = min node id reachable. Min-label propagation: each
+    round every node takes min(own label, neighbours' labels); converges
+    in graph-diameter rounds (near-dup graphs are clique-like — 1-3
+    rounds in practice), capped at max_iter (raises if not converged —
+    silent truncation would mislabel clusters). Each round is one join +
+    one aggregate; labels are localCheckpoint()ed per round so lineage
+    stays CONSTANT across iterations (the classic iterative-algorithm
+    trap). The driver-side convergence check is inherent to iteration,
+    not a per-row action. For billion-edge graphs swap in the
+    large-star/small-star contraction (same operator contract).
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["y"] == labels["node"])
+            .groupBy("x")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["x"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def doc_shingles(docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
     """(doc_id, shingle) — distinct word n-gram shingles per doc.
 

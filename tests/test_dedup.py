@@ -113,6 +113,41 @@ def test_minhash_lsh_metrics_observed(spark):
     assert got["dropped_pairs_ub"] > 0
 
 
+def test_exact_dedup_keep_verdicts(spark):
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other"), (7, "same")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in D.exact_dedup_keep(docs).collect()}
+    assert rows[1]["canonical_id"] == 1 and not rows[1]["is_dup"]
+    assert rows[2]["canonical_id"] == 1 and rows[2]["is_dup"]
+    assert rows[7]["canonical_id"] == 1 and rows[7]["is_dup"]
+    assert rows[3]["canonical_id"] == 3 and not rows[3]["is_dup"]
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 6-node chain (diameter 5 — forces several propagation rounds),
+    a triangle, and an isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain
+         (10, 11), (11, 12), (10, 12),              # triangle
+         (20, 21)],                                  # pair
+        "a long, b long",
+    )
+    got = {r["node"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert {n: got[n] for n in range(1, 7)} == {n: 1 for n in range(1, 7)}
+    assert {n: got[n] for n in (10, 11, 12)} == {10: 10, 11: 10, 12: 10}
+    assert got[20] == 20 and got[21] == 20
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    with pytest.raises(RuntimeError):
+        D.connected_components(pairs, max_iter=1)
+
+
 def test_minhash_lsh_plan_has_no_cartesian(spark):
     docs = _corpus(spark, 60)
     plan = (
