@@ -194,6 +194,7 @@ SC_K, SC_WD, SC_WS = 50, 0.6, 0.4
 SIMHASH_MAX_D = 3
 SIMHASH_BANDS = 4
 EMBED_DIM = 16
+SESSION_GAP_MIN = 360
 SPELL_TOKENS = ["merg", "window", "query", "tabel", "zzzznotaterm"]
 SPELL_MAX_D = 1
 HYBRID_QUERY = "how to implement merge join"
@@ -401,6 +402,27 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").cast("date").cast("string").alias("window_day"),
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based event sessionization (batch twin of the
+    applyInPandasWithState streaming operator — streaming/sessions.py):
+    lag-gap flag -> running session index per user -> per-session
+    aggregate; all timestamps as integer epoch micros."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.streaming.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, gap_minutes=SESSION_GAP_MIN)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start_us",
+        "session_end_us",
+        "n_events",
         F.round("sum_value", 6).alias("sum_value"),
     )
 
@@ -1057,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_clusters": q_dedup_clusters,
         "streaming_windowed_rollup": q_streaming_window,
+        "event_sessionize": q_sessionize,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_top_pairs": q_emb_neardup,
@@ -1319,6 +1342,19 @@ WITH k AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
 c AS (SELECT text_md5, min(doc_id) AS canonical_id FROM k GROUP BY 1)
 SELECT k.doc_id, c.canonical_id, k.doc_id <> c.canonical_id AS is_dup
 FROM k JOIN c USING (text_md5)
+""",
+        "event_sessionize": f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_MIN * 60_000_000}
+                     THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+i AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
+SELECT user_id, session_idx::bigint AS session_idx,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       count(*)::bigint AS n_events, round(sum(value), 6) AS sum_value
+FROM i GROUP BY 1, 2
 """,
         "streaming_windowed_rollup": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
