@@ -188,6 +188,9 @@ DECAY_RATE = 0.95
 ANN_K = 10
 ANN_LSH_BITS = 4  # 2^4 buckets over ~500 vecs => ~31 candidates/bucket
 ANN_PROBE_R = 1  # multi-probe: query bucket + its 4 Hamming-1 neighbours
+IVF_NC = 16
+IVF_NPROBE = 4
+IVF_ITERS = 1
 CHUNK_SIZE = 120
 CHUNK_OVERLAP = 20
 SC_K, SC_WD, SC_WS = 50, 0.6, 0.4
@@ -526,6 +529,29 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         bits=ANN_LSH_BITS,
         probe_hamming=ANN_PROBE_R,
+    )
+    return _limit_rank(
+        out.select("id", F.round("cosine", 6).alias("cosine")),
+        [F.desc("cosine"), F.asc("id")],
+        ANN_K,
+    ).select("rank", "id", "cosine")
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse quantizer (seed = lowest-id
+    vectors, one Lloyd round), centroids QUANTIZED to 6 dp on both
+    engines (so summation-order ulp noise in the means cannot flip an
+    assignment), nprobe nearest lists probed, exact cosine inside them.
+    Training runs on ALL vectors (incl. the query vector 0); candidates
+    exclude it — the oracle replicates both choices."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    cents = SIM.ivf_train_centroids(emb, IVF_NC, 64, iters=IVF_ITERS)
+    cents = [[round(x, 6) for x in c] for c in cents]
+    q = _q_vec(spark, sf_dir, 0)
+    out = SIM.ivf_topk(
+        emb.filter("vec_id <> 0"), q, ANN_K + 32, cents, nprobe=IVF_NPROBE
     )
     return _limit_rank(
         out.select("id", F.round("cosine", 6).alias("cosine")),
@@ -1087,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "ann_srp_lsh_topk": q_ann_lsh,
         "ann_srp_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf_topk": q_ann_ivf,
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
@@ -1455,6 +1482,37 @@ qn AS (SELECT sqrt(sum(v * v)) AS n FROM qv),
 dots AS (SELECT ev.vec_id, sum(ev.v * qv.v) AS d, sum(ev.v * ev.v) AS n2
          FROM ev JOIN qv USING (i) JOIN cands c ON ev.vec_id = c.vec_id GROUP BY 1),
 cos AS (SELECT vec_id AS id, round(d / (sqrt(n2) * (SELECT n FROM qn)), 6) AS cosine
+        FROM dots)
+SELECT rank, id, cosine FROM (
+  SELECT row_number() OVER (ORDER BY cosine DESC, id)::int AS rank, id, cosine
+  FROM cos) WHERE rank <= {ANN_K}
+""",
+        "ann_ivf_topk": f"""
+WITH ev AS (SELECT vec_id, i - 1 AS d, embedding[i]::double AS x
+            FROM embeddings, range(1, 65) t(i)),
+seed AS (SELECT vec_id AS c, d, x FROM ev WHERE vec_id < {IVF_NC}),
+d1 AS (SELECT ev.vec_id, s.c, sum((ev.x - s.x) * (ev.x - s.x)) AS dist
+       FROM ev JOIN seed s USING (d) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, c FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+         FROM d1) WHERE rn = 1),
+cent AS (SELECT a1.c, ev.d, round(avg(ev.x), 6) AS x
+         FROM ev JOIN a1 USING (vec_id) GROUP BY 1, 2),
+d2 AS (SELECT ev.vec_id, cent.c, sum((ev.x - cent.x) * (ev.x - cent.x)) AS dist
+       FROM ev JOIN cent USING (d) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, c FROM (
+         SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+         FROM d2) WHERE rn = 1),
+qv AS (SELECT d, x FROM ev WHERE vec_id = 0),
+qd AS (SELECT cent.c, sum((qv.x - cent.x) * (qv.x - cent.x)) AS dist
+       FROM qv JOIN cent USING (d) GROUP BY 1),
+probes AS (SELECT c FROM qd ORDER BY dist, c LIMIT {IVF_NPROBE}),
+cands AS (SELECT vec_id FROM a2 JOIN probes USING (c) WHERE vec_id <> 0),
+qn AS (SELECT sqrt(sum(x * x)) AS n FROM qv),
+dots AS (SELECT ev.vec_id, sum(ev.x * qv.x) AS dp, sum(ev.x * ev.x) AS n2
+         FROM ev JOIN qv USING (d) JOIN cands cd ON ev.vec_id = cd.vec_id
+         GROUP BY 1),
+cos AS (SELECT vec_id AS id, round(dp / (sqrt(n2) * (SELECT n FROM qn)), 6) AS cosine
         FROM dots)
 SELECT rank, id, cosine FROM (
   SELECT row_number() OVER (ORDER BY cosine DESC, id)::int AS rank, id, cosine

@@ -132,6 +132,120 @@ def srp_lsh_buckets(embeddings, dim: int, bits: int = SRP_BITS, id_col: str = "v
     return v.select("id", bucket.alias("bucket"))
 
 
+def ivf_train_centroids(
+    embeddings,
+    n_centroids: int,
+    dim: int,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    n_centroids vectors with the SMALLEST ids (deterministic and
+    oracle-reproducible — swap in kmeans|| seeding for production
+    recall), refined by `iters` Lloyd rounds, each one distributed pass:
+    assign every vector to its nearest centroid (argmin L2, pure column
+    exprs over broadcast centroid literals) → per-dimension mean per
+    cluster (one groupBy) → collect the n_centroids×dim table (tiny).
+    Empty clusters keep their previous centroid."""
+    from pyspark.sql import functions as F
+
+    seed_rows = (
+        embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("id")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in seed_rows]
+    v = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        assign = _ivf_assign_expr(centroids)
+        sums = (
+            v.withColumn("cluster", assign)
+            .select("cluster", F.posexplode("v").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        acc: dict[int, dict[int, tuple]] = {}
+        for r in sums:
+            acc.setdefault(int(r["cluster"]), {})[int(r["d"])] = (
+                float(r["s"]),
+                int(r["n"]),
+            )
+        for c, dims in acc.items():
+            for d, (s, n) in dims.items():
+                new[c][d] = s / n
+        centroids = new
+    return centroids
+
+
+def _ivf_assign_expr(centroids):
+    """Column expr: index (0-based) of the L2-nearest centroid of `v`.
+    Ties break to the LOWEST centroid index (array_position finds the
+    first minimum)."""
+    from pyspark.sql import functions as F
+
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_assignments(embeddings, centroids, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(id, cluster): inverted-file assignment of every vector."""
+    from pyspark.sql import functions as F
+
+    v = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    return v.select("id", _ivf_assign_expr(centroids).alias("cluster"))
+
+
+def ivf_topk(
+    embeddings,
+    query_vec,
+    k: int,
+    centroids,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-flat approximate top-k: probe the nprobe centroids nearest the
+    query (driver-side — centroids are tiny), score ONLY vectors assigned
+    to those clusters (exact cosine), TakeOrderedAndProject top-k. The
+    candidate fraction is ~nprobe/n_centroids of the corpus — the
+    standard IVF recall/cost dial. At scale, persist ivf_assignments
+    partitioned BY cluster so a probe prunes whole partitions at scan
+    time (same layout trick as the WAND term_bucket directories)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    q = [float(x) for x in query_vec]
+    dists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(q, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    probes = [i for _, i in dists[:nprobe]]
+    cand = ivf_assignments(embeddings, centroids, id_col, vec_col).filter(
+        F.col("cluster").isin(probes)
+    )
+    s = cosine_scores(embeddings, q, id_col, vec_col).join(cand.select("id"), "id")
+    top = s.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")
+
+
 def query_bucket(query_vec, dim: int, bits: int = SRP_BITS) -> int:
     """The query vector's SRP bucket (driver-side, same hyperplanes)."""
     planes = srp_hyperplanes(dim, bits)
