@@ -581,6 +581,34 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.doc_fingerprints(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting three ways: engine tokenizer, whitespace split,
+    BPE-ish pretokenizer regex (GPT-2 classes, ASCII-portable)."""
+    docs = _docs(spark, sf_dir)
+    stats = TS.token_stats(docs, "text", "doc_id").select(
+        "doc_id", "n_tokens", "n_ws_tokens"
+    )
+    return stats.join(TS.bpe_ish_counts(docs, "text", "doc_id"), "doc_id")
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 JSON serde, live: parse the events.props JSON column
+    (get_json_object) and roll up per event_type."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
 def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1117,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
+        "text_token_counts": q_token_counts,
+        "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
         "temporal_decay": q_temporal,
         "multimodal_meta": q_multimodal,
@@ -1558,6 +1588,22 @@ SELECT doc_id,
 FROM best WHERE rn = 1
 """,
         "text_quality": quality_sql,
+        "text_token_counts": f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::int AS n_tokens,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::int AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TS.BPE_ISH_RE.replace("'", "''")}'))::int AS n_bpe_ish
+FROM tok
+""",
+        "events_json_props": """
+SELECT event_type, count(*)::bigint AS n,
+       sum(json_extract(props, '$.k')::int)::bigint AS sum_k,
+       min(json_extract(props, '$.k')::int)::int AS min_k,
+       max(json_extract(props, '$.k')::int)::int AS max_k
+FROM events GROUP BY 1
+""",
         "text_fingerprint": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 h AS (SELECT doc_id,

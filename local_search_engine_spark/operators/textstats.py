@@ -48,6 +48,28 @@ def token_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+# GPT-2-style pretokenizer classes (contraction suffixes, space-prefixed
+# word / number runs, punctuation runs), ASCII-restricted so the Java
+# (Spark) and RE2 (DuckDB) regex dialects agree; whitespace between
+# matches is skipped, not counted.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_counts(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_bpe_ish): subword-ish token count via the BPE-style
+    pretokenizer regex — the cheap cross-engine stand-in for a real BPE
+    vocabulary count (a real tokenizer plugs in through the
+    functions/embed.py worker-factory pattern)."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0))
+        .cast("int")
+        .alias("n_bpe_ish"),
+    )
+
+
 def quality_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
     """Per-doc quality features + a blended score in [0,1]:
       unique_ratio   = |distinct tokens| / |tokens|      (reference
