@@ -1061,6 +1061,32 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid lifecycle with the block-max-WAND sparse ranker plugged
+    into the sparse_fn seam — same oracle as hybrid_search (pruning is
+    exact), so the gate proves pruned-sparse + dense + RRF end-to-end."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.postings import build_postings
+    from local_search_engine_spark.operators.retrieval import hybrid_search
+    from local_search_engine_spark.operators.wand import make_wand_topk
+
+    idx = _index(spark, sf_dir)
+    postings, shard_meta = build_postings(
+        idx, docs_per_shard=DOCS_PER_SHARD, block_span=BLOCK_SPAN, n_buckets=8
+    )
+    wand = make_wand_topk(idx, postings, shard_meta, block_span=BLOCK_SPAN)
+    qv = _q_vec(spark, sf_dir, 0)
+    fused, _ = hybrid_search(
+        idx, _emb(spark, sf_dir), HYBRID_QUERY, qv, k=HYBRID_K,
+        sparse_fn=lambda q, n: wand(q, n, prune=True).select("doc_id", "score"),
+    )
+    return fused.select(
+        "fused_rank", "id", "rank_d", "rank_s",
+        F.round("rrf_score", 6).alias("rrf_score"),
+    )
+
+
 def q_bm25_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level retrieval — the reference's actual indexing unit
     (ProcessedChunk, preprocessing.py:64-74): chunk -> global chunk key
@@ -1162,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "final_selection": q_final_selection,
         "answer_confidence": q_answer_confidence,
         "hybrid_search": q_hybrid_search,
+        "hybrid_search_wand": q_hybrid_search_wand,
         "bm25_chunks_topk": q_bm25_chunks,
         "streaming_ingest_merge": q_streaming_ingest,
         "spell_corrected_search": q_spell_corrected_search,
@@ -1318,7 +1345,7 @@ SELECT id,
        count(*)::bigint AS n_iterations
 FROM r GROUP BY id
 """
-    return {
+    oracles = {
         "bm25_topk_hot": _bm25_sql(Q_HOT, 10),
         "bm25_topk_multi": _bm25_sql(Q_MULTI, 20),
         "bm25_topk_rare_oov": _bm25_sql(Q_RARE_OOV, 10),
@@ -1424,7 +1451,7 @@ FROM events GROUP BY 1, 2
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tf AS (SELECT doc_id, tok AS term, count(*)::bigint AS tf
        FROM tok, unnest(toks) AS u(tok) GROUP BY 1, 2),
-tfh AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::bigint AS h FROM tf),
+tfh AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::bigint AS h FROM tf),
 bits AS (SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS s
          FROM tfh CROSS JOIN range({D.SIMHASH_BITS}) t(j) GROUP BY 1, 2)
 SELECT doc_id,
@@ -1435,7 +1462,7 @@ FROM bits GROUP BY 1
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 tf AS (SELECT doc_id, tok AS term, count(*)::bigint AS tf
        FROM tok, unnest(toks) AS u(tok) GROUP BY 1, 2),
-tfh AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::bigint AS h FROM tf),
+tfh AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::bigint AS h FROM tf),
 bits AS (SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS s
          FROM tfh CROSS JOIN range({D.SIMHASH_BITS}) t(j) GROUP BY 1, 2),
 sig AS (SELECT doc_id,
@@ -1859,3 +1886,6 @@ SELECT event_id, event_type, value,
 FROM p
 """,
     }
+    # the WAND-sparse hybrid is exact => same oracle as hybrid_search
+    oracles["hybrid_search_wand"] = oracles["hybrid_search"]
+    return oracles

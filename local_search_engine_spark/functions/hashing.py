@@ -62,6 +62,21 @@ def h32_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::bigint)"
 
 
+def h60_col(col):
+    """Spark Column[string] -> Column[long] in [0, 2^60) — 15 md5 hex
+    chars; 60 bits is the widest md5 prefix that stays safely inside a
+    signed 64-bit long on every engine (16 hex chars can set the sign
+    bit). Used where hash WIDTH buys collision headroom (SimHash bands)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """Same hash as h60_col, as DuckDB SQL over a string expression."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::bigint)"
+
+
 def minhash_col(h_col, perm: int):
     """Spark: permuted hash (a*h + b) mod P for permutation index."""
     from pyspark.sql import functions as F

@@ -75,16 +75,26 @@ def search_corrected(index, query: str, k: int = 10, max_d: int = 1):
     return score_terms(index, corrected_term_counts(index, query, max_d=max_d))
 
 
-def hybrid_search(index, embeddings, query: str, query_vec, k: int = 10):
+def hybrid_search(index, embeddings, query: str, query_vec, k: int = 10, sparse_fn=None):
     """→ (results DataFrame, QueryAnalysis). Results: (fused_rank, id,
     rank_d, rank_s, rrf_score) — the reference's SearchResult list shape
-    with both per-ranker ranks exposed."""
+    with both per-ranker ranks exposed.
+
+    sparse_fn: optional (query, n) -> DataFrame(doc_id, score) to swap
+    the sparse ranker — pass a lambda over wand.make_wand_topk to run
+    the hybrid lifecycle on the pruned compressed-postings path (the
+    100 TB configuration) instead of brute-force score_all; n is sized
+    k_fusion+32 so the rounded-rank cut at k_fusion is boundary-stable
+    (same slack pattern as the bm25_wand gate)."""
     analysis = analyze_query(query)
     k_fusion = FUSION_K.get(analysis.query_type.value, FUSION_K["default"])
     w_dense = analysis.weights["dense"]
     w_sparse = analysis.weights["sparse"]
 
-    sparse = _ranked(score_all(index, query), "score", "doc_id", k_fusion)
+    raw_sparse = (
+        sparse_fn(query, k_fusion + 32) if sparse_fn else score_all(index, query)
+    )
+    sparse = _ranked(raw_sparse, "score", "doc_id", k_fusion)
     from pyspark.sql import functions as F
 
     dense_scores = cosine_scores(embeddings, query_vec).filter(F.col("id") != 0)

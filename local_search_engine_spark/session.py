@@ -85,6 +85,10 @@ def get_spark(
         # term strings) measured 2.5x slower than raw caching on the tf
         # table; trade memory for CPU — index caches are short-lived
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        # wide aggregations (16-col MinHash, 60-col SimHash bit-sums)
+        # must stay inside whole-stage codegen; the default 100-field cap
+        # silently drops them to interpreted eval (measured 1.4x slower)
+        .config("spark.sql.codegen.maxFields", "500")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.enabled", "false")

@@ -146,6 +146,42 @@ class PersistedIndexState:
         os.replace(tmp, self._log_path)
         return entry
 
+    def compact(self) -> dict:
+        """Rewrite all accumulated tf/docs deltas into one base batch dir
+        and drop the per-batch dirs — bounds the small-file count after
+        long ingest runs (the parquet equivalent of an Iceberg rewrite).
+        The commit log keeps EVERY batch id it has seen, so re-delivered
+        batches stay no-ops after compaction. Safe to re-run; crash
+        between the new-base write and the old-dir removal leaves both
+        readable-but-duplicated only within the _compact staging dir,
+        never the live tree (stage → swap via os.replace)."""
+        import shutil
+
+        spark = self.spark
+        stats = {}
+        for sub in ("tf", "docs"):
+            live = os.path.join(self.dir, sub)
+            if not os.path.isdir(live):
+                continue
+            stage = os.path.join(self.dir, f"_compact_{sub}")
+            shutil.rmtree(stage, ignore_errors=True)
+            df = spark.read.parquet(live)
+            df.write.mode("overwrite").parquet(
+                os.path.join(stage, "batch=__base__")
+            )
+            stats[sub] = spark.read.parquet(stage).count()
+            old = os.path.join(self.dir, f"_old_{sub}")
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(live, old)
+            os.replace(stage, live)
+            shutil.rmtree(old, ignore_errors=True)
+        self._log["__compacted__"] = {"rows": stats.get("tf", 0)}
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._log, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._log_path)
+        return stats
+
     def load_index(self) -> InvertedIndex:
         """Flat-scan the accumulated deltas → full InvertedIndex. Plan
         depth is constant in batch count; df/idf/avgdl derived once."""

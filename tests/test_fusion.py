@@ -134,6 +134,32 @@ def test_temporal_flexible_open_ended(spark):
     )
 
 
+def test_hybrid_search_wand_sparse_matches_bruteforce(spark):
+    """The hybrid lifecycle with the pruned WAND sparse ranker plugged in
+    (sparse_fn seam) returns the same fused ranking as brute force."""
+    from local_search_engine_spark.operators.build import build_index_from
+    from local_search_engine_spark.operators.postings import build_postings
+    from local_search_engine_spark.operators.retrieval import hybrid_search
+    from local_search_engine_spark.operators.wand import make_wand_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = build_index_from(docs.select("doc_id", "text"), text_col="text")
+    postings, shard_meta = build_postings(
+        idx, docs_per_shard=200, block_span=64, n_buckets=8
+    )
+    wand = make_wand_topk(idx, postings, shard_meta, block_span=64)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    query = "how to implement merge join"
+
+    brute, _ = hybrid_search(idx, emb, query, qv, k=15)
+    pruned, _ = hybrid_search(
+        idx, emb, query, qv, k=15,
+        sparse_fn=lambda q, n: wand(q, n, prune=True).select("doc_id", "score"),
+    )
+    assert [tuple(r) for r in brute.collect()] == [tuple(r) for r in pruned.collect()]
+
+
 def test_ranked_topk_plan_is_limit_first(spark):
     """The top-k plan must be TakeOrderedAndProject over the scores
     relation (per-partition heap), with any window only over ≤k rows."""

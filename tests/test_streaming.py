@@ -109,3 +109,44 @@ def test_persisted_state_many_batches_bounded(spark, tmp_path):
     # relation), not a 12-deep union plan
     plan = merged.tf._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation") == 1 and "Union" not in plan
+
+
+def test_persisted_state_compaction(spark, tmp_path):
+    """compact() folds the delta dirs into one base batch: the loaded
+    index is unchanged, re-delivered old batch ids stay no-ops, appends
+    after compaction still work, and the batch-dir count shrinks."""
+    import os as _os
+
+    from local_search_engine_spark.streaming.merge import PersistedIndexState
+
+    state_dir = str(tmp_path / "state")
+    state = PersistedIndexState(spark, state_dir)
+    for b in range(4):
+        state.append_batch(mkdocs(spark, b * 10, (b + 1) * 10), b, text_col="text")
+    before = {
+        r.term: (r.df, round(r.idf, 12))
+        for r in state.load_index().idf.select("term", "df", "idf").collect()
+    }
+    state.compact()
+    dirs = [d for d in _os.listdir(_os.path.join(state_dir, "tf")) if d.startswith("batch=")]
+    assert dirs == ["batch=__base__"]
+    after = {
+        r.term: (r.df, round(r.idf, 12))
+        for r in state.load_index().idf.select("term", "df", "idf").collect()
+    }
+    assert after == before
+    # exactly-once survives compaction
+    assert state.append_batch(mkdocs(spark, 0, 10), 0, text_col="text") is None
+    # and fresh appends still merge correctly
+    state.append_batch(mkdocs(spark, 40, 50), 4, text_col="text")
+    merged = state.load_index()
+    full = build_index_from(mkdocs(spark, 0, 50), text_col="text", cache=False)
+    got = {
+        r.term: (r.df, round(r.idf, 12))
+        for r in merged.idf.select("term", "df", "idf").collect()
+    }
+    want = {
+        r.term: (r.df, round(r.idf, 12))
+        for r in full.idf.select("term", "df", "idf").collect()
+    }
+    assert got == want
