@@ -560,6 +560,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "id", "cosine")
 
 
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a PERSISTED cluster-partitioned inverted file: probes
+    prune whole cluster directories at scan time. Same oracle as
+    ann_ivf_topk (the persisted round-trip must not change results)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    cents = SIM.ivf_train_centroids(emb, IVF_NC, 64, iters=IVF_ITERS)
+    cents = [[round(x, 6) for x in c] for c in cents]
+    idx_dir = tempfile.mkdtemp(prefix="lse_ivf_")
+    SIM.persist_ivf_index(emb.filter("vec_id <> 0"), cents, idx_dir)
+    q = _q_vec(spark, sf_dir, 0)
+    out = SIM.ivf_topk_persisted(spark, idx_dir, q, ANN_K + 32, nprobe=IVF_NPROBE)
+    return _limit_rank(
+        out.select("id", F.round("cosine", 6).alias("cosine")),
+        [F.desc("cosine"), F.asc("id")],
+        ANN_K,
+    ).select("rank", "id", "cosine")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1168,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_lsh_topk": q_ann_lsh,
         "ann_srp_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
@@ -1888,4 +1911,6 @@ FROM p
     }
     # the WAND-sparse hybrid is exact => same oracle as hybrid_search
     oracles["hybrid_search_wand"] = oracles["hybrid_search"]
+    # the persisted IVF round-trip must not change results
+    oracles["ann_ivf_persisted"] = oracles["ann_ivf_topk"]
     return oracles

@@ -246,6 +246,66 @@ def ivf_topk(
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")
 
 
+def persist_ivf_index(
+    embeddings,
+    centroids,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Write the inverted file to parquet PARTITIONED BY cluster: a probe
+    then prunes whole cluster directories at scan time (PartitionFilters
+    in the FileScan — the ANN analog of the WAND term_bucket directory
+    layout). Also persists the centroid table (cluster, centroid) beside
+    it so a query planner needs no retraining."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = v.withColumn("cluster", _ivf_assign_expr(centroids))
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def ivf_topk_persisted(spark, index_dir: str, query_vec, k: int, nprobe: int = 4):
+    """IVF-flat top-k over a persisted inverted file: load centroids,
+    pick nprobe lists driver-side, scan ONLY those cluster directories
+    (partition pruning — verify with .explain: PartitionFilters
+    [cluster IN (...)]), exact cosine inside."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = json.load(f)
+    q = [float(x) for x in query_vec]
+    dists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(q, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    probes = [i for _, i in dists[:nprobe]]
+    vec = spark.read.parquet(os.path.join(index_dir, "vectors")).filter(
+        F.col("cluster").isin(probes)
+    )
+    qcol = F.array(*[F.lit(x) for x in q])
+    s = vec.select(
+        "id",
+        (_dot(F.col("v"), qcol) / (_norm(F.col("v")) * _norm(qcol))).alias("cosine"),
+    )
+    top = s.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")
+
+
 def query_bucket(query_vec, dim: int, bits: int = SRP_BITS) -> int:
     """The query vector's SRP bucket (driver-side, same hyperplanes)."""
     planes = srp_hyperplanes(dim, bits)

@@ -68,6 +68,23 @@ def test_ivf_topk_structure_and_recall(spark):
     emb.unpersist()
 
 
+def test_ivf_persisted_prunes_partitions(spark, tmp_path):
+    """The persisted inverted file is cluster-partitioned: a probe scan
+    carries PartitionFilters (whole directories pruned), and results
+    match the in-memory ivf_topk."""
+    emb = _emb(spark).cache()
+    q = _qvec(spark)
+    cents = [[round(x, 6) for x in c] for c in SIM.ivf_train_centroids(emb, 16, 64, iters=1)]
+    idx_dir = str(tmp_path / "ivf")
+    SIM.persist_ivf_index(emb.filter("vec_id <> 0"), cents, idx_dir)
+    out = SIM.ivf_topk_persisted(spark, idx_dir, q, 10, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    mem = SIM.ivf_topk(emb.filter("vec_id <> 0"), q, 10, cents, nprobe=4)
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]
+    emb.unpersist()
+
+
 def test_ivf_empty_cluster_keeps_seed(spark):
     """Training with more centroids than distinct vectors must not
     divide by zero — empty clusters keep their previous centroid."""
