@@ -1,0 +1,100 @@
+"""Hypothesis property tests for the pure-Python engine functions
+(no Spark session — these are the worker-side kernels, so property
+coverage here is cheap and broad; SURVEY.md §5.2 item 3).
+
+Chunker invariants (both modes), tokenizer algebraic properties, and
+the split/pack laws of the separator-aware splitter.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from local_search_engine_spark.functions.tokenize import tokenize_py  # noqa: E402
+from local_search_engine_spark.operators.chunking import (  # noqa: E402
+    chunk_spans,
+    pack_units,
+    split_units,
+)
+
+texts = st.text(
+    alphabet=st.sampled_from(list("ab z\n._09'!ü")), max_size=400
+)
+sizes = st.integers(min_value=2, max_value=60)
+
+
+@given(texts, sizes)
+@settings(max_examples=200, deadline=None)
+def test_split_units_partition_text(text, size):
+    """Units are a contiguous partition of the text: concatenation is the
+    identity, each unit is non-empty and <= chunk_size."""
+    units = split_units(text, size)
+    assert "".join(text[s:e] for s, e in units) == text
+    pos = 0
+    for s, e in units:
+        assert s == pos and e > s and e - s <= size
+        pos = e
+    assert pos == len(text)
+
+
+@given(texts, sizes, st.integers(min_value=0, max_value=30))
+@settings(max_examples=200, deadline=None)
+def test_chunk_spans_invariants(text, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    spans = chunk_spans(text, size, overlap)
+    # coverage: every char in >=1 chunk; chunks respect the size budget;
+    # spans are sorted and overlap only by < size
+    covered = set()
+    prev_start = -1
+    for s, e in spans:
+        assert 0 <= s < e <= len(text)
+        assert e - s <= size
+        assert s > prev_start
+        prev_start = s
+        covered.update(range(s, e))
+    assert covered == set(range(len(text)))
+
+
+@given(texts, sizes, st.integers(min_value=0, max_value=30))
+@settings(max_examples=200, deadline=None)
+def test_pack_preserves_unit_boundaries(text, size, overlap):
+    """Every chunk starts and ends exactly on unit boundaries."""
+    if overlap >= size:
+        overlap = size - 1
+    units = split_units(text, size)
+    starts = {s for s, _ in units}
+    ends = {e for _, e in units}
+    for s, e in pack_units(units, size, overlap):
+        assert s in starts and e in ends
+
+
+@given(st.lists(st.text(alphabet=st.sampled_from(list("abcxyz09_")), min_size=2, max_size=8), max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_roundtrip_on_token_material(tokens):
+    """Joining valid tokens with any separator and re-tokenizing gives
+    the tokens back (lowercased) — the stability law the BM25 oracle
+    relies on."""
+    text = " ".join(tokens)
+    assert tokenize_py(text) == [t.lower() for t in tokens]
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_idempotent_and_clean(text):
+    """tokenize(join(tokenize(x))) == tokenize(x); every token is
+    lowercase and either >= MIN_TOKEN_LEN or a preserved term."""
+    from local_search_engine_spark.functions.tokenize import (
+        MIN_TOKEN_LEN,
+        PRESERVE_TERMS,
+    )
+
+    toks = tokenize_py(text)
+    assert tokenize_py(" ".join(toks)) == toks
+    for t in toks:
+        assert t == t.lower()
+        assert len(t) >= MIN_TOKEN_LEN or t in PRESERVE_TERMS
