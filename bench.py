@@ -69,6 +69,15 @@ def main() -> None:
 
         return _T()
 
+    # untimed warmup: a miniature build exercises the same codegen/JIT
+    # paths (tokenize explode, hash aggs, posting encode) so the timed
+    # regions measure the engine, not first-action JVM warmup — the same
+    # protocol as scripts/bench_scaling.py. Round-1/2 bench showed ±40%
+    # run-to-run variance on index_build without this.
+    wi = build_index_from(docs.limit(300), text_col="text", cache=False)
+    build_postings(wi, docs_per_shard=200, block_span=64, n_buckets=8)[0].count()
+    wi.idf.count()
+
     # --- index build: the north-rule headline (docs/sec) ---------------
     with bench("index_build"):
         idx = build_index_from(docs, text_col="text")

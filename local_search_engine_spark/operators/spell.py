@@ -90,7 +90,15 @@ def correct_tokens(vocab, tokens: list[str], max_d: int = 1):
     qrows = [(t, v) for t in toks for v in delete_variants_py(t, max_d)]
     q = spark.createDataFrame(qrows, "token string, vkey string").distinct()
 
-    vkeys = vocab.select(
+    # length pushdown BEFORE the |term|^max_d variant expansion:
+    # lev(t, v) <= d forces |len(t) - len(v)| <= d, so only vocabulary
+    # terms within max_d of some query token's length can ever match —
+    # a plain scan filter that shrinks the expansion to a sliver of a
+    # 10^8-term vocabulary (the expansion was the only superlinear-in-
+    # |term| cost at max_d=2)
+    lens = {len(t) for t in toks}
+    lo, hi = min(lens) - max_d, max(lens) + max_d
+    vkeys = vocab.filter(F.length("term").between(lo, hi)).select(
         "term", "df", F.explode(_variants(F.col("term"), max_d)).alias("vkey")
     )
     # query side is tiny → broadcast it; the join key (deletion variant)
