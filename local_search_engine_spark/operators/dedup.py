@@ -27,7 +27,7 @@ Scale notes (designed for a 1000-executor cluster, tested on local[32]):
 
 from __future__ import annotations
 
-from ..functions.hashing import MERSENNE_P, N_PERMS, h32_col, h60_col, minhash_col
+from ..functions.hashing import MERSENNE_P, N_PERMS, h32_col, h60_col
 from ..functions.tokenize import tokenize_expr
 
 # 60-bit SimHash (15 md5 hex chars — the widest safely-signed-long md5
@@ -137,16 +137,22 @@ def connected_components(pairs, max_iter: int = 20):
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-def doc_shingles(docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
-    """(doc_id, shingle) — distinct word n-gram shingles per doc.
+def doc_shingle_sets(docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """(doc_id, shingles: array<string>) — the DISTINCT word n-gram
+    shingle set per doc, built entirely WITHIN the row: tokenize →
+    shifted-slice zip → array_distinct. ZERO shuffle — per-doc
+    distinctness never needs to leave the row, so the classic
+    `explode → distinct()` full shuffle of the corpus-wide shingle table
+    (~10^2 rows per doc — the single biggest relation in the dedup
+    pipeline) is eliminated. The exploded presentation (doc_shingles) and
+    every MinHash consumer derive from this set.
 
     Tokenization is the engine's single tokenizer (functions/tokenize.py);
-    shingles are space-joined token n-grams. Built entirely from JVM-side
-    array expressions — no Python in the hot path — as a zip of n SHIFTED
+    shingles are space-joined token n-grams. The n-gram zip uses n SHIFTED
     WHOLE-ARRAY slices folded with concat: n O(len) slices per doc
     instead of one O(n) slice per offset (the per-offset
     transform+slice shape measured 7x slower at sf0.1 — 12.4s -> 1.9s
-    for the distinct shingle build; identical output).
+    for the shingle build; identical output).
     """
     from pyspark.sql import functions as F
 
@@ -161,10 +167,21 @@ def doc_shingles(docs, text_col: str = "text", id_col: str = "doc_id", n: int = 
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     # guard: slice/zip on shorter-than-n docs must short-circuit to empty
-    sh = F.when(length >= n, acc).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
+    sh = F.when(length >= n, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+
+
+def doc_shingles(docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """(doc_id, shingle) — distinct word n-gram shingles per doc, the
+    exploded (inverted-index-ready) presentation of doc_shingle_sets.
+    No `.distinct()` shuffle: distinctness is established inside the row
+    by array_distinct before the explode."""
+    from pyspark.sql import functions as F
+
+    return doc_shingle_sets(docs, text_col, id_col, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -212,37 +229,50 @@ def minhash_wide(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    shingles=None,
+    shingle_sets=None,
 ):
     """(doc_id, s0..s{N_PERMS-1}): one wide MinHash signature row per doc.
 
-    sig(doc, p) = min over shingles of ((a_p * h32(shingle) + b_p) mod P).
-    All N_PERMS mins are computed in ONE groupBy(doc_id) with N_PERMS
-    min-expressions — map-side partial aggregation shrinks each input
-    partition to one 16-column row per doc before the (unskewed,
-    doc-keyed) shuffle. This beats exploding the perm dimension by
-    ~N_PERMS× in shuffled rows.
+    sig(doc, p) = min over shingles of ((a_p * h32(shingle) + b_p) mod P),
+    computed entirely WITHIN the row: one transform hashes the shingle
+    set once, then each permutation is an array_min over a transform of
+    the hashed array. ZERO shuffle — the earlier groupBy(doc_id) over the
+    exploded shingle table (a full corpus-content shuffle even with
+    map-side partial aggregation) is gone; signatures stream straight off
+    the source scan. Docs with empty shingle sets (length < n) produce no
+    signature row, matching the exploded formulation.
 
-    shingles: optionally pass a precomputed doc_shingles() DataFrame so
-    callers (minhash_lsh_pairs) share one cached shingle scan between
-    signature generation and candidate verification.
+    shingle_sets: optionally pass a precomputed doc_shingle_sets()
+    DataFrame so callers (minhash_lsh_pairs) share one cached scan
+    between signature generation and candidate verification.
     """
     from pyspark.sql import functions as F
 
     from ..functions.hashing import MINHASH_A, MINHASH_B
 
-    sh = shingles if shingles is not None else doc_shingles(docs, text_col, id_col, n)
-    sh = sh.withColumn("h", h32_col(F.col("shingle")))
-    aggs = [
-        F.min(
-            F.pmod(
-                F.lit(MINHASH_A[p]) * F.col("h") + F.lit(MINHASH_B[p]),
-                F.lit(MERSENNE_P),
+    ss = (
+        shingle_sets
+        if shingle_sets is not None
+        else doc_shingle_sets(docs, text_col, id_col, n)
+    )
+    hashed = F.transform(F.col("shingles"), lambda s: h32_col(s))
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("hh"),
+                lambda x: F.pmod(
+                    F.lit(MINHASH_A[p]) * x + F.lit(MINHASH_B[p]),
+                    F.lit(MERSENNE_P),
+                ),
             )
         ).alias(f"s{p}")
         for p in range(N_PERMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return (
+        ss.filter(F.size("shingles") > 0)
+        .select("doc_id", hashed.alias("hh"))
+        .select("doc_id", *sigs)
+    )
 
 
 def minhash_signatures(
@@ -250,14 +280,14 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    shingles=None,
+    shingle_sets=None,
 ):
     """(doc_id, perm, sig): tall MinHash signature rows, perm in
     0..N_PERMS-1 — a posexplode of minhash_wide's per-doc row (the tall
-    shape is presentation; all aggregation work happens wide)."""
+    shape is presentation; all signature work happens in-row, wide)."""
     from pyspark.sql import functions as F
 
-    wide = minhash_wide(docs, text_col, id_col, n, shingles=shingles)
+    wide = minhash_wide(docs, text_col, id_col, n, shingle_sets=shingle_sets)
     return wide.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"s{p}") for p in range(N_PERMS)])).alias(
@@ -316,12 +346,27 @@ def minhash_lsh_pairs(
     (Spark Observation — collected during the main action, zero extra
     jobs). Returns (a, b, jaccard) with jaccard >= threshold, verified
     exactly against the shingle sets.
+
+    Shuffle audit (the 100 TB shape): the ONLY corpus-sized shuffle is
+    the (band, band_key) bucket groupBy of 4 short rows per doc.
+    Shingle sets and signatures are built in-row (doc_shingle_sets /
+    minhash_wide — zero shuffle); exact verification joins the small
+    candidate-pair table against the cached per-doc set arrays
+    (broadcast-able under AQE) and computes |A∩B| with array_intersect
+    inside the row — the earlier formulation shuffled the full exploded
+    shingle relation twice here even when there were no candidates
+    (measured 738 s for 148 k docs / ~30 M shingles; this shape retests
+    at a small fraction of that — see BENCH/BASELINE.md §8).
     """
     from pyspark.sql import functions as F
 
     rows_per_band = N_PERMS // bands
-    sh = doc_shingles(docs, text_col, id_col, n).cache()
-    wide = minhash_wide(docs, text_col, id_col, n, shingles=sh)
+    sets = (
+        doc_shingle_sets(docs, text_col, id_col, n)
+        .filter(F.size("shingles") > 0)
+        .cache()
+    )
+    wide = minhash_wide(docs, text_col, id_col, n, shingle_sets=sets)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -361,25 +406,20 @@ def minhash_lsh_pairs(
         metrics["observation"] = obs
     capped = sized.filter(F.size("ids") <= max_bucket_size)
     cand = bucket_pairs(capped)
-    # exact verification join against the SAME cached shingle sets,
-    # candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    ia = sh.select(F.col("doc_id").alias("a"), "shingle")
-    ib = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        cand.join(ia, "a")
-        .join(ib, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    # exact verification against the SAME cached shingle-set arrays,
+    # candidates only: two equi-joins of the (small) pair table against
+    # the per-doc sets, |A∩B| via array_intersect inside the row — no
+    # shuffle of any shingle-sized relation
+    va = sets.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    vb = sets.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
+        cand.join(va, "a")
+        .join(vb, "b")
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+            inter.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - inter),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -390,35 +430,40 @@ def simhash_signatures(docs, text_col: str = "text", id_col: str = "doc_id"):
     """(doc_id, simhash): SIMHASH_BITS-wide SimHash over tf-weighted term
     hashes.
 
-    bit_j(sim) = 1 iff Σ_terms tf(t,d) * (2*bit_j(h60(t)) - 1) > 0.
-    Plan: tokenize → tf agg → weighted bit-sum agg → pack bits. Two
-    shuffles, both on doc-keyed (unskewed) keys.
+    bit_j(sim) = 1 iff Σ_terms tf(t,d) * (2*bit_j(h60(t)) - 1) > 0
+                   ⟺ Σ_occurrences (2*bit_j(h60(tok)) - 1) > 0
+                   ⟺ 2*ones_j > n_tokens
+    (tf-weighting the distinct terms IS summing over raw occurrences).
+    Computed entirely WITHIN the row: hash the token array once, then
+    ones_j = size(filter(hh, bit j set)) per bit, pack as a pure column
+    expression. ZERO shuffle — the earlier tokenize → explode →
+    tf groupBy → 60-column bit-sum groupBy shape pushed every token of
+    the corpus through two shuffles, which is what made the 148 k-doc
+    signature build the pipeline's bottleneck; signatures now stream
+    straight off the source scan. Token-less docs yield no row (parity
+    with the exploded formulation).
     """
     from pyspark.sql import functions as F
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(F.col(text_col))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    th = tf.withColumn("h", h60_col(F.col("term")))
-    # All bit-sums in ONE groupBy(doc_id) aggregation (map-side
-    # combinable) instead of exploding the bit dimension through the
-    # shuffle; the final bit-pack is a pure column expression.
-    aggs = [
-        F.sum(
-            F.col("tf")
-            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    wide = th.groupBy("doc_id").agg(*aggs)
+    toks = tokenize_expr(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, lambda t: h60_col(t)).alias("hh"),
+    ).filter(F.size("hh") > 0)
+    n = F.size(F.col("hh"))
     packed = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+        ones = F.size(
+            F.filter(
+                F.col("hh"),
+                lambda x: F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        bit = F.when(ones * 2 > n, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         packed = bit if packed is None else packed + bit
-    return wide.select("doc_id", packed.alias("simhash"))
+    return base.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_pairs(

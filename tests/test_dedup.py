@@ -158,3 +158,61 @@ def test_minhash_lsh_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_signature_plans_have_zero_shuffle(spark):
+    """MinHash and SimHash signatures are built entirely within the row
+    (doc_shingle_sets / in-row bit counting) — their physical plans must
+    contain NO Exchange at all. This is the 100 TB property: signatures
+    stream straight off the source scan; the earlier exploded
+    formulations shuffled every token/shingle of the corpus (738 s for
+    148 k docs in the minhash verify path alone)."""
+    docs = _corpus(spark, 60)
+    for df in (D.minhash_wide(docs), D.simhash_signatures(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_minhash_lsh_only_shuffles_buckets(spark):
+    """The full LSH pipeline's only corpus-sized shuffle is the
+    (band, band_key) bucket groupBy; candidate-pair expansion and exact
+    verification add at most two more small exchanges (pair distinct +
+    verify joins under AQE). Pin an upper bound so an exploded-relation
+    shuffle can't silently come back."""
+    docs = _corpus(spark, 60)
+    plan = (
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges <= 5, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_minhash_wide_matches_grouped_bruteforce(spark):
+    """In-row array_min signatures ≡ the groupBy-min over the exploded
+    shingle relation (the formulation they replaced)."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.functions.hashing import (
+        MERSENNE_P,
+        MINHASH_A,
+        MINHASH_B,
+        N_PERMS,
+        h32_col,
+    )
+
+    docs = _corpus(spark, 80)
+    got = {r["doc_id"]: [r[f"s{p}"] for p in range(N_PERMS)]
+           for r in D.minhash_wide(docs).collect()}
+    sh = D.doc_shingles(docs).withColumn("h", h32_col(F.col("shingle")))
+    aggs = [
+        F.min(F.pmod(F.lit(MINHASH_A[p]) * F.col("h") + F.lit(MINHASH_B[p]),
+                     F.lit(MERSENNE_P))).alias(f"s{p}")
+        for p in range(N_PERMS)
+    ]
+    want = {r["doc_id"]: [r[f"s{p}"] for p in range(N_PERMS)]
+            for r in sh.groupBy("doc_id").agg(*aggs).collect()}
+    assert got == want
+    assert want, "fixture produced no signatures — vacuous"
