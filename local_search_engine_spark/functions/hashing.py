@@ -88,3 +88,64 @@ def minhash_col(h_col, perm: int):
 def minhash_sql(h_expr: str, perm: int) -> str:
     a, b = MINHASH_A[perm], MINHASH_B[perm]
     return f"(({a}::bigint * {h_expr} + {b}) % {MERSENNE_P})"
+
+
+def np_minhash_sigs(hh, out_dtype=None):
+    """Numpy twin of the per-row MinHash signature: given the h32 values
+    of one doc's shingle set, return the N_PERMS array_min((a*h+b)%P)
+    signature. Exact int64 arithmetic (max a*h ≈ 2^53 < 2^63) — matches
+    minhash_col / minhash_sql bit-for-bit. Vectorized: one (16, n)
+    broadcast instead of 16 interpreted Catalyst lambda passes per row
+    (the expr formulation measured 16x the scan cost at sf0.1)."""
+    import numpy as np
+
+    h = np.asarray(hh, dtype=np.int64)
+    a = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
+    b = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
+    return ((a * h[None, :] + b) % MERSENNE_P).min(axis=1)
+
+
+def np_simhash_pack(hh, bits: int):
+    """Numpy twin of the per-row SimHash majority-vote pack: given the
+    h60 values of one doc's token array, return the packed `bits`-wide
+    signature long. bit_j = 1 iff 2 * (#tokens with bit j set) > n —
+    identical to the Catalyst `filter per bit` formulation but one
+    vectorized (n, bits) pass instead of `bits` interpreted array scans."""
+    import numpy as np
+
+    arr = np.asarray(hh, dtype=np.int64)
+    shifts = np.arange(bits, dtype=np.int64)
+    ones = ((arr[:, None] >> shifts) & 1).sum(axis=0)
+    return int(
+        ((2 * ones > arr.size).astype(np.int64) << shifts).sum()
+    )
+
+
+def minhash_sigs_udf():
+    """Arrow-batched pandas UDF: array<long> h32 shingle hashes ->
+    array<long> N_PERMS MinHash signature. The W1-pattern vectorized
+    kernel behind minhash_wide(impl='pandas')."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(hh):
+        return hh.map(np_minhash_sigs)
+
+    # this module uses `from __future__ import annotations`; pandas_udf
+    # needs REAL type objects, so set them explicitly
+    _kernel.__annotations__ = {"hh": pd.Series, "return": pd.Series}
+    return pandas_udf(_kernel, "array<long>")
+
+
+def simhash_pack_udf(bits: int):
+    """Arrow-batched pandas UDF: array<long> h60 token hashes -> packed
+    SimHash long. Factory (bits is closure-bound) so dedup.SIMHASH_BITS
+    stays the single source of truth for signature width."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(hh):
+        return hh.map(lambda a: np_simhash_pack(a, bits))
+
+    _kernel.__annotations__ = {"hh": pd.Series, "return": pd.Series}
+    return pandas_udf(_kernel, "long")

@@ -230,17 +230,24 @@ def minhash_wide(
     id_col: str = "doc_id",
     n: int = 3,
     shingle_sets=None,
+    impl: str = "pandas",
 ):
     """(doc_id, s0..s{N_PERMS-1}): one wide MinHash signature row per doc.
 
     sig(doc, p) = min over shingles of ((a_p * h32(shingle) + b_p) mod P),
     computed entirely WITHIN the row: one transform hashes the shingle
-    set once, then each permutation is an array_min over a transform of
-    the hashed array. ZERO shuffle — the earlier groupBy(doc_id) over the
-    exploded shingle table (a full corpus-content shuffle even with
-    map-side partial aggregation) is gone; signatures stream straight off
-    the source scan. Docs with empty shingle sets (length < n) produce no
-    signature row, matching the exploded formulation.
+    set once, then the 16-permutation min is a single Arrow-batched numpy
+    broadcast (hashing.np_minhash_sigs) over the hashed array. ZERO
+    shuffle — the earlier groupBy(doc_id) over the exploded shingle table
+    (a full corpus-content shuffle even with map-side partial
+    aggregation) is gone; signatures stream straight off the source scan.
+    Docs with empty shingle sets (length < n) produce no signature row,
+    matching the exploded formulation.
+
+    impl: 'pandas' (default — vectorized kernel; the 16 interpreted
+    Catalyst lambda passes of the expr path dominated the LSH bench) or
+    'expr' (pure-JVM fallback, bit-identical, used where Arrow is
+    unavailable and as the cross-impl test oracle).
 
     shingle_sets: optionally pass a precomputed doc_shingle_sets()
     DataFrame so callers (minhash_lsh_pairs) share one cached scan
@@ -248,7 +255,7 @@ def minhash_wide(
     """
     from pyspark.sql import functions as F
 
-    from ..functions.hashing import MINHASH_A, MINHASH_B
+    from ..functions.hashing import MINHASH_A, MINHASH_B, minhash_sigs_udf
 
     ss = (
         shingle_sets
@@ -256,6 +263,12 @@ def minhash_wide(
         else doc_shingle_sets(docs, text_col, id_col, n)
     )
     hashed = F.transform(F.col("shingles"), lambda s: h32_col(s))
+    base = ss.filter(F.size("shingles") > 0).select("doc_id", hashed.alias("hh"))
+    if impl == "pandas":
+        sig = base.select("doc_id", minhash_sigs_udf()(F.col("hh")).alias("sig"))
+        return sig.select(
+            "doc_id", *[F.col("sig")[p].alias(f"s{p}") for p in range(N_PERMS)]
+        )
     sigs = [
         F.array_min(
             F.transform(
@@ -268,11 +281,7 @@ def minhash_wide(
         ).alias(f"s{p}")
         for p in range(N_PERMS)
     ]
-    return (
-        ss.filter(F.size("shingles") > 0)
-        .select("doc_id", hashed.alias("hh"))
-        .select("doc_id", *sigs)
-    )
+    return base.select("doc_id", *sigs)
 
 
 def minhash_signatures(
@@ -426,7 +435,9 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(docs, text_col: str = "text", id_col: str = "doc_id"):
+def simhash_signatures(
+    docs, text_col: str = "text", id_col: str = "doc_id", impl: str = "pandas"
+):
     """(doc_id, simhash): SIMHASH_BITS-wide SimHash over tf-weighted term
     hashes.
 
@@ -434,22 +445,31 @@ def simhash_signatures(docs, text_col: str = "text", id_col: str = "doc_id"):
                    ⟺ Σ_occurrences (2*bit_j(h60(tok)) - 1) > 0
                    ⟺ 2*ones_j > n_tokens
     (tf-weighting the distinct terms IS summing over raw occurrences).
-    Computed entirely WITHIN the row: hash the token array once, then
-    ones_j = size(filter(hh, bit j set)) per bit, pack as a pure column
-    expression. ZERO shuffle — the earlier tokenize → explode →
-    tf groupBy → 60-column bit-sum groupBy shape pushed every token of
-    the corpus through two shuffles, which is what made the 148 k-doc
-    signature build the pipeline's bottleneck; signatures now stream
-    straight off the source scan. Token-less docs yield no row (parity
-    with the exploded formulation).
+    Computed entirely WITHIN the row: hash the token array once (JVM md5,
+    oracle-portable), then the 60-bit majority-vote pack is one
+    Arrow-batched numpy pass (hashing.np_simhash_pack). ZERO shuffle —
+    the earlier tokenize → explode → tf groupBy → 60-column bit-sum
+    groupBy shape pushed every token of the corpus through two shuffles.
+    Token-less docs yield no row (parity with the exploded formulation).
+
+    impl: 'pandas' (default) or 'expr' — the pure-Catalyst fallback packs
+    via 60 `size(filter(hh, bit j))` scans; bit-identical but ~60
+    interpreted array passes per doc (it was 30-50s of the sf0.1 bench,
+    the single worst item, before the numpy kernel).
     """
     from pyspark.sql import functions as F
+
+    from ..functions.hashing import simhash_pack_udf
 
     toks = tokenize_expr(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(toks, lambda t: h60_col(t)).alias("hh"),
     ).filter(F.size("hh") > 0)
+    if impl == "pandas":
+        return base.select(
+            "doc_id", simhash_pack_udf(SIMHASH_BITS)(F.col("hh")).alias("simhash")
+        )
     n = F.size(F.col("hh"))
     packed = None
     for j in range(SIMHASH_BITS):
@@ -476,15 +496,21 @@ def simhash_pairs(
     """SimHash Hamming-neighbour near-dup pairs: (a, b, hamming) with
     popcount(xor(sig_a, sig_b)) <= max_hamming.
 
-    The 32-bit signature is banded into n_bands disjoint chunks; docs
-    sharing ANY band value are candidates; candidates are verified with
-    an exact popcount. EXACT (not approximate) whenever
-    max_hamming < n_bands — pigeonhole: ≤(n_bands-1) differing bits over
-    n_bands disjoint chunks leaves at least one chunk identical, so every
-    qualifying pair lands in some shared bucket. Plan shape: signature
-    aggs → one explode(n_bands) → bucket groupBy → in-array pair gen →
-    popcount filter; the only shuffles are the signature agg and the
-    bucket groupBy, both on unskewed keys.
+    The signature is banded into n_bands disjoint chunks; docs sharing
+    ANY band value are candidates; candidates are verified with an exact
+    popcount. EXACT (not approximate) whenever max_hamming < n_bands —
+    pigeonhole: ≤(n_bands-1) differing bits over n_bands disjoint chunks
+    leaves at least one chunk identical, so every qualifying pair lands
+    in some shared bucket.
+
+    Plan shape: signatures → one explode(n_bands) → bucket groupBy over
+    (doc_id, simhash) STRUCTS → in-array pair gen with the popcount
+    verification computed inside the same row → distinct. Carrying the
+    signature through the bucket (instead of bucket_pairs + two joins
+    back to the signature relation) means the signature plan runs ONCE
+    and the only shuffles are the bucket groupBy and the final distinct,
+    both on unskewed keys. (The join-back shape re-ran the whole
+    tokenize+hash+pack pipeline three times — it was 3x the cost.)
     """
     from pyspark.sql import functions as F
 
@@ -502,21 +528,37 @@ def simhash_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", F.posexplode(band_vals).alias("band", "band_val"))
-    grouped = banded.groupBy("band", "band_val").agg(
-        F.collect_list("doc_id").alias("ids")
+    banded = sig.select(
+        F.struct(F.col("doc_id"), F.col("simhash")).alias("ds"),
+        F.posexplode(band_vals).alias("band", "band_val"),
     )
-    cand = bucket_pairs(grouped)
-    sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    grouped = banded.groupBy("band", "band_val").agg(F.collect_list("ds").alias("ids"))
+    # i<j pair gen + popcount verify inside the bucket array: doc_id is
+    # unique so array_sort's (doc_id, simhash) lexicographic order is a
+    # pure doc_id order and a < b holds by construction
+    ids_s = F.array_sort(F.col("ids"))
+    verified = F.filter(
+        F.flatten(
+            F.transform(
+                ids_s,
+                lambda x, i: F.transform(
+                    F.slice(ids_s, i + 2, F.size(ids_s)),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("a"),
+                        y["doc_id"].alias("b"),
+                        F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                        .cast("int")
+                        .alias("hamming"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["hamming"] <= F.lit(max_hamming),
+    )
     return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        grouped.select(F.explode(verified).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
+        .distinct()
     )
 
 

@@ -216,3 +216,20 @@ def test_minhash_wide_matches_grouped_bruteforce(spark):
             for r in sh.groupBy("doc_id").agg(*aggs).collect()}
     assert got == want
     assert want, "fixture produced no signatures — vacuous"
+
+
+def test_signature_impls_bit_identical(spark):
+    """The Arrow-batched numpy kernels (impl='pandas', the fast path) and
+    the pure-Catalyst expressions (impl='expr', the no-Arrow fallback /
+    oracle twin) must produce bit-identical signatures."""
+    docs = _corpus(spark, 50)
+    mw_p = {r["doc_id"]: tuple(r[c] for c in r.asDict() if c != "doc_id")
+            for r in D.minhash_wide(docs, impl="pandas").collect()}
+    mw_e = {r["doc_id"]: tuple(r[c] for c in r.asDict() if c != "doc_id")
+            for r in D.minhash_wide(docs, impl="expr").collect()}
+    assert mw_p == mw_e and len(mw_p) > 0
+    sh_p = {r["doc_id"]: r["simhash"]
+            for r in D.simhash_signatures(docs, impl="pandas").collect()}
+    sh_e = {r["doc_id"]: r["simhash"]
+            for r in D.simhash_signatures(docs, impl="expr").collect()}
+    assert sh_p == sh_e and len(sh_p) > 0
