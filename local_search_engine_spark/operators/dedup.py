@@ -375,6 +375,12 @@ def minhash_lsh_pairs(
         .filter(F.size("shingles") > 0)
         .cache()
     )
+    if metrics is not None:
+        # hand the internal cache to the caller so repeated invocations
+        # (benchmarks, batch drivers) can unpersist between runs — Spark's
+        # cache manager matches by plan equality, so a second identical
+        # call silently reuses this cache otherwise
+        metrics["shingle_sets"] = sets
     wide = minhash_wide(docs, text_col, id_col, n, shingle_sets=sets)
     band_keys = F.array(
         *[
