@@ -613,6 +613,25 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(TS.bpe_ish_counts(docs, "text", "doc_id"), "doc_id")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup line/2-gram/3-gram
+    fractions + pass verdict) over documents."""
+    return TS.repetition_scores(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs vs a deterministic
+    'benchmark' subset (doc_id % 37 == 0 — stands in for an eval suite),
+    3-gram shingle collision via a broadcast of the benchmark shingles."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return D.benchmark_contamination(
+        docs, bench, "text", "doc_id", "text", n=3, min_ratio=0.1
+    )
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F19 JSON serde, live: parse the events.props JSON column
     (get_json_object) and roll up per event_type."""
@@ -1195,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
         "text_token_counts": q_token_counts,
+        "text_repetition": q_text_repetition,
+        "benchmark_decontaminate": q_decontaminate,
         "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
         "temporal_decay": q_temporal,
@@ -1646,6 +1667,60 @@ SELECT doc_id,
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::int AS n_ws_tokens,
        len(regexp_extract_all(text, '{TS.BPE_ISH_RE.replace("'", "''")}'))::int AS n_bpe_ish
 FROM tok
+""",
+        "text_repetition": f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, toks,
+           list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                       s -> s <> '') AS lines
+         FROM tok),
+ng AS (SELECT doc_id, lines, toks,
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+              ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3
+              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in range(1, len(toks) - 1)]
+              ELSE [] END AS g3
+       FROM base),
+m AS (SELECT doc_id,
+        len(lines)::bigint AS n_lines,
+        CASE WHEN len(lines) > 0
+             THEN round(1.0 - len(list_distinct(lines))::double / len(lines), 6)
+             ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN len(g2) > 0
+             THEN round(1.0 - len(list_distinct(g2))::double / len(g2), 6)
+             ELSE 0.0 END AS dup_2gram_frac,
+        CASE WHEN len(g3) > 0
+             THEN round(1.0 - len(list_distinct(g3))::double / len(g3), 6)
+             ELSE 0.0 END AS dup_3gram_frac,
+        CASE WHEN len(toks) > 0
+             THEN round(list_sum(list_transform(toks, t -> length(t)))::double
+                        / len(toks), 6)
+             ELSE 0.0 END AS mean_word_len
+      FROM ng)
+SELECT doc_id, n_lines, dup_line_frac, dup_2gram_frac, dup_3gram_frac, mean_word_len,
+       (dup_line_frac <= 0.30 AND dup_2gram_frac <= 0.30
+        AND dup_3gram_frac <= 0.30) AS repetition_pass
+FROM m
+""",
+        "benchmark_decontaminate": f"""
+WITH {_SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*)::bigint AS n_sh FROM sh GROUP BY 1),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
+hits AS (SELECT s.doc_id, count(b.sh)::bigint AS n_hit
+         FROM sh s LEFT JOIN bench b ON s.sh = b.sh GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(h.n_hit, 0)::bigint AS n_hit,
+       coalesce(z.n_sh, 0)::bigint AS n_shingles,
+       CASE WHEN coalesce(z.n_sh, 0) > 0
+            THEN round(coalesce(h.n_hit, 0)::double / z.n_sh, 6)
+            ELSE 0.0 END AS contamination_ratio,
+       (CASE WHEN coalesce(z.n_sh, 0) > 0
+             THEN round(coalesce(h.n_hit, 0)::double / z.n_sh, 6)
+             ELSE 0.0 END >= 0.1) AS is_contaminated
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN hits h USING (doc_id) LEFT JOIN sizes z USING (doc_id)
 """,
         "events_json_props": """
 SELECT event_type, count(*)::bigint AS n,

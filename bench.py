@@ -105,6 +105,10 @@ def main() -> None:
     SIM.cosine_scores(memb, wqv).orderBy(F.desc("cosine")).limit(3).collect()
     TS.quality_scores(mini, "text", "doc_id").count()
     TS.doc_fingerprints(mini, "text", "doc_id").count()
+    TS.repetition_scores(mini, "text", "doc_id").count()
+    D.benchmark_contamination(
+        mini, mini.filter(F.col("doc_id") % 37 == 0), "text", "doc_id"
+    ).count()
     from local_search_engine_spark.functions.embed import embed_docs
     from local_search_engine_spark.operators.chunking import chunk_docs_separators
     from local_search_engine_spark.operators.retrieval import hybrid_search
@@ -225,6 +229,16 @@ def main() -> None:
     bench("text_quality", lambda: TS.quality_scores(docs, "text", "doc_id").count())
     bench(
         "text_fingerprint", lambda: TS.doc_fingerprints(docs, "text", "doc_id").count()
+    )
+    bench(
+        "text_repetition",
+        lambda: TS.repetition_scores(docs, "text", "doc_id").count(),
+    )
+    bench(
+        "benchmark_decontaminate",
+        lambda: D.benchmark_contamination(
+            docs, docs.filter(F.col("doc_id") % 37 == 0), "text", "doc_id"
+        ).count(),
     )
     from local_search_engine_spark.functions.embed import embed_docs
 

@@ -670,3 +670,65 @@ def embedding_neardup_pairs(embeddings, id_col: str = "vec_id", vec_col: str = "
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def benchmark_contamination(
+    docs,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_ratio: float = 0.1,
+    force_broadcast: bool = True,
+):
+    """Training-set decontamination: flag corpus docs sharing word
+    n-gram shingles with a benchmark/eval set (the standard n-gram
+    collision test used before training on web-scale corpora).
+
+    Returns (doc_id, n_hit, n_shingles, contamination_ratio,
+    is_contaminated): n_hit = |doc shingles ∩ benchmark shingles|,
+    ratio = n_hit / n_shingles, is_contaminated = ratio >= min_ratio.
+    Docs with no shingles (shorter than n tokens) report 0 / 0 / 0.0 /
+    false — they cannot leak benchmark content at this n.
+
+    Scale shape: the benchmark side is DISTINCT shingles of the eval
+    suite — small by nature (10^6-10^7 shingles even for a large suite)
+    — broadcast to every executor (force_broadcast=True, the 100 TB
+    default) so the corpus-sized exploded shingle relation NEVER
+    shuffles: explode → broadcast-hash left-semi-style join → per-doc
+    count, where the count reuses the explode's doc_id clustering.
+    Set force_broadcast=False for a pathologically large benchmark and
+    AQE plans a shuffle join instead.
+    """
+    from pyspark.sql import functions as F
+
+    sets = doc_shingle_sets(docs, text_col, id_col, n)
+    bench_sh = (
+        doc_shingle_sets(benchmark, bench_text_col, "doc_id", n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    if force_broadcast:
+        bench_sh = F.broadcast(bench_sh)
+    exploded = sets.select(
+        "doc_id", F.size("shingles").alias("n_shingles"), F.explode_outer("shingles").alias("shingle")
+    )
+    hits = exploded.join(
+        bench_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.greatest(F.max("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_hit") / F.col("n_shingles"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("is_contaminated", F.col("contamination_ratio") >= min_ratio)
+    )

@@ -175,3 +175,95 @@ def doc_fingerprints(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
     mn = F.when(F.size("_toks") > 0, F.array_min(hashes)).otherwise(F.lit(None).cast("long"))
     return d.select("doc_id", fp.alias("fingerprint"), mn.alias("min_token_hash"))
+
+
+def repetition_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_ngram_frac: float = 0.30,
+):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    the standard repetition filters for web-scale training corpora),
+    computed entirely WITHIN the row (zero shuffle, embarrassingly
+    parallel — the same 100 TB shape as quality_scores):
+
+      n_lines, dup_line_frac   — 1 - distinct_lines/lines (blank lines
+                                 dropped; a page of repeated boilerplate
+                                 lines scores high);
+      dup_2gram_frac,
+      dup_3gram_frac           — 1 - distinct_ngrams/ngrams over the
+                                 token stream (count-fraction variant of
+                                 Gopher's char-weighted measure — same
+                                 monotonicity, cheaper and oracle-exact);
+      mean_word_len            — mean token length in chars;
+      repetition_pass          — dup_line_frac <= max_dup_line_frac AND
+                                 both ngram fracs <= max_dup_ngram_frac
+                                 (docs with < 2 lines / too few ngrams
+                                 trivially pass that signal: frac 0).
+
+    Fractions are round(·, 6) for cross-engine comparability.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.tokenize import tokenize_expr
+
+    toks = tokenize_expr(F.col(text_col))
+
+    def _ngrams(n):
+        length = F.size(F.col("_toks"))
+        m = length - F.lit(n - 1)
+        acc = F.slice(F.col("_toks"), 1, m)
+        for k in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(F.col("_toks"), k + 1, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return F.when(length >= n, acc).otherwise(F.array().cast("array<string>"))
+
+    def _dup_frac(arr):
+        total = F.size(arr)
+        return F.when(
+            total > 0,
+            F.round(1.0 - F.size(F.array_distinct(arr)) / total, 6),
+        ).otherwise(F.lit(0.0))
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        lines.alias("_lines"),
+    )
+    dup_line = _dup_frac(F.col("_lines"))
+    dup2 = _dup_frac(_ngrams(2))
+    dup3 = _dup_frac(_ngrams(3))
+    mean_len = F.when(
+        F.size("_toks") > 0,
+        F.round(
+            F.aggregate(
+                F.transform(F.col("_toks"), lambda t: F.length(t)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            / F.size("_toks"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.size("_lines").cast("long").alias("n_lines"),
+        dup_line.alias("dup_line_frac"),
+        dup2.alias("dup_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        mean_len.alias("mean_word_len"),
+        (
+            (dup_line <= max_dup_line_frac)
+            & (dup2 <= max_dup_ngram_frac)
+            & (dup3 <= max_dup_ngram_frac)
+        ).alias("repetition_pass"),
+    )

@@ -233,3 +233,44 @@ def test_signature_impls_bit_identical(spark):
     sh_e = {r["doc_id"]: r["simhash"]
             for r in D.simhash_signatures(docs, impl="expr").collect()}
     assert sh_p == sh_e and len(sh_p) > 0
+
+
+def test_benchmark_contamination_planted(spark):
+    """A doc sharing exactly half its shingles with the benchmark set
+    reports ratio 0.5; an unrelated doc reports 0; a too-short doc
+    reports 0 shingles and passes clean."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shingles: a-b-g, b-g-d
+            (2, "zz yy xx ww"),                 # unrelated
+            (3, "tiny doc"),                    # < n tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma unrelated tail here")],  # contains a-b-g only
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in D.benchmark_contamination(docs, bench, min_ratio=0.4).collect()
+    }
+    assert rows[1]["n_shingles"] == 2 and rows[1]["n_hit"] == 1
+    assert abs(rows[1]["contamination_ratio"] - 0.5) < 1e-9
+    assert rows[1]["is_contaminated"]
+    assert rows[2]["n_hit"] == 0 and not rows[2]["is_contaminated"]
+    assert rows[3]["n_shingles"] == 0 and not rows[3]["is_contaminated"]
+
+
+def test_benchmark_contamination_broadcasts(spark):
+    """The benchmark shingle side must broadcast (no shuffle of the
+    corpus-sized exploded relation onto a join key)."""
+    docs = _corpus(spark, 60)
+    bench = _corpus(spark, 10)
+    plan = (
+        D.benchmark_contamination(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -98,3 +98,39 @@ def test_tokenizer_idempotent_and_clean(text):
     for t in toks:
         assert t == t.lower()
         assert len(t) >= MIN_TOKEN_LEN or t in PRESERVE_TERMS
+
+
+def test_repetition_scores_known_values(spark):
+    """Hand-computed Gopher repetition fractions."""
+    from local_search_engine_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            # 3 non-blank lines, one dup -> dup_line 1/3. Tokens span
+            # lines: [spam spam spam eggs spam spam] -> 5 2-grams with
+            # 3 distinct (dup 2/5); 4 3-grams all distinct (dup 0)
+            (1, "spam spam\nspam eggs\n\nspam spam"),
+            (2, ""),  # empty: all zero, passes
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TS.repetition_scores(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - round(1 / 3, 6)) < 1e-9
+    assert abs(r1["dup_2gram_frac"] - 0.4) < 1e-9
+    assert r1["dup_3gram_frac"] == 0.0
+    assert abs(r1["mean_word_len"] - 4.0) < 1e-9
+    assert not r1["repetition_pass"]  # 1/3 > 0.30 on lines and 2-grams
+    r2 = rows[2]
+    assert r2["n_lines"] == 0 and r2["repetition_pass"]
+
+
+def test_repetition_scores_zero_shuffle(spark):
+    from local_search_engine_spark.operators import textstats as TS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        TS.repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
