@@ -632,6 +632,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATES = {"en": 1.0, "de": 0.5}
+SAMPLE_DEFAULT = 0.25
+SAMPLE_SALT = "g1"
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sampling — keep 100% en / 50% de /
+    25% everything else, reproducible bit-for-bit across engines."""
+    from local_search_engine_spark.operators.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _docs(spark, sf_dir),
+        rates=SAMPLE_RATES,
+        strata_col="lang",
+        default_rate=SAMPLE_DEFAULT,
+        salt=SAMPLE_SALT,
+    ).select("doc_id", "lang")
+
+
+def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: exact-dedup keep + quality floor +
+    Gopher repetition filter + benchmark decontamination, one verdict
+    row per doc with per-signal reasons."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.pipeline import clean_corpus
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return clean_corpus(docs, bench, "text", "doc_id", min_quality=0.3)
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F19 JSON serde, live: parse the events.props JSON column
     (get_json_object) and roll up per event_type."""
@@ -1216,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_token_counts,
         "text_repetition": q_text_repetition,
         "benchmark_decontaminate": q_decontaminate,
+        "corpus_sample": q_corpus_sample,
+        "pipeline_clean_corpus": q_pipeline_clean,
         "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
         "temporal_decay": q_temporal,
@@ -1721,6 +1755,68 @@ SELECT d.doc_id,
              ELSE 0.0 END >= 0.1) AS is_contaminated
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN hits h USING (doc_id) LEFT JOIN sizes z USING (doc_id)
+""",
+        "corpus_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5('{SAMPLE_SALT}:' || doc_id::varchar), 1, 8))::bigint) <
+      CASE WHEN lang = 'en' THEN {int(SAMPLE_RATES['en'] * 2**32)}
+           WHEN lang = 'de' THEN {int(SAMPLE_RATES['de'] * 2**32)}
+           ELSE {int(SAMPLE_DEFAULT * 2**32)} END
+""",
+        "pipeline_clean_corpus": f"""
+WITH {_SHINGLE_CTES},
+dupk AS (SELECT doc_id, md5(text) AS m FROM documents),
+canon AS (SELECT m, min(doc_id) AS c FROM dupk GROUP BY 1),
+dupv AS (SELECT doc_id, (doc_id <> c) AS is_dup FROM dupk JOIN canon USING (m)),
+qtok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+qual AS (SELECT doc_id,
+           round(0.3 * (CASE WHEN len(toks) > 0
+                   THEN len(list_distinct(toks))::double / len(toks) ELSE 0.0 END)
+           + 0.2 * (1.0 - CASE WHEN len(toks) > 0
+                   THEN len(list_filter(toks, x -> list_contains([{stop_list}], x)))::double / len(toks)
+                   ELSE 0.0 END)
+           + 0.3 * (CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / length(text)
+                   ELSE 0.0 END)
+           + 0.2 * least(1.0, len(toks) / 100.0), 6) >= 0.3 AS quality_ok
+         FROM qtok),
+rlines AS (SELECT doc_id, toks,
+             list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                         s -> s <> '') AS lines
+           FROM qtok),
+rng AS (SELECT doc_id, lines,
+          CASE WHEN len(toks) >= 2
+               THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+               ELSE [] END AS g2,
+          CASE WHEN len(toks) >= 3
+               THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in range(1, len(toks) - 1)]
+               ELSE [] END AS g3
+        FROM rlines),
+rep AS (SELECT doc_id,
+          ((CASE WHEN len(lines) > 0
+                 THEN round(1.0 - len(list_distinct(lines))::double / len(lines), 6)
+                 ELSE 0.0 END) <= 0.30
+           AND (CASE WHEN len(g2) > 0
+                 THEN round(1.0 - len(list_distinct(g2))::double / len(g2), 6)
+                 ELSE 0.0 END) <= 0.30
+           AND (CASE WHEN len(g3) > 0
+                 THEN round(1.0 - len(list_distinct(g3))::double / len(g3), 6)
+                 ELSE 0.0 END) <= 0.30) AS repetition_pass
+        FROM rng),
+sizes AS (SELECT doc_id, count(*)::bigint AS n_sh FROM sh GROUP BY 1),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
+hits AS (SELECT s.doc_id, count(b.sh)::bigint AS n_hit
+         FROM sh s LEFT JOIN bench b ON s.sh = b.sh GROUP BY 1),
+dec AS (SELECT d.doc_id,
+          NOT (CASE WHEN coalesce(z.n_sh, 0) > 0
+                    THEN round(coalesce(h.n_hit, 0)::double / z.n_sh, 6)
+                    ELSE 0.0 END >= 0.1) AS decontam_ok
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN hits h USING (doc_id) LEFT JOIN sizes z USING (doc_id))
+SELECT doc_id, is_dup, quality_ok, repetition_pass, decontam_ok,
+       (NOT is_dup AND quality_ok AND repetition_pass AND decontam_ok) AS keep
+FROM dupv JOIN qual USING (doc_id) JOIN rep USING (doc_id) JOIN dec USING (doc_id)
 """,
         "events_json_props": """
 SELECT event_type, count(*)::bigint AS n,
