@@ -664,6 +664,21 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(docs, bench, "text", "doc_id", min_quality=0.3)
 
 
+def q_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming watermark dedup: earliest (ts, id)
+    arrival per content digest + arrival count. Synthetic monotone
+    event time (doc_id minutes as epoch micros) keeps the winner
+    deterministic and the oracle component-wise."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.streaming.dedup import first_seen
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "ts", (F.col("doc_id") * 60_000_000).cast("long")
+    )
+    return first_seen(docs, "text", "doc_id", "ts")
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F19 JSON serde, live: parse the events.props JSON column
     (get_json_object) and roll up per event_type."""
@@ -1250,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontaminate": q_decontaminate,
         "corpus_sample": q_corpus_sample,
         "pipeline_clean_corpus": q_pipeline_clean,
+        "stream_dedup_first_seen": q_stream_dedup_first_seen,
         "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
         "temporal_decay": q_temporal,
@@ -1817,6 +1833,13 @@ dec AS (SELECT d.doc_id,
 SELECT doc_id, is_dup, quality_ok, repetition_pass, decontam_ok,
        (NOT is_dup AND quality_ok AND repetition_pass AND decontam_ok) AS keep
 FROM dupv JOIN qual USING (doc_id) JOIN rep USING (doc_id) JOIN dec USING (doc_id)
+""",
+        "stream_dedup_first_seen": """
+WITH keyed AS (SELECT md5(text) AS text_md5, doc_id, doc_id * 60000000 AS ts
+               FROM documents)
+SELECT text_md5, min(doc_id) AS doc_id, min(ts) AS ts,
+       count(*)::bigint AS n_arrivals
+FROM keyed GROUP BY 1
 """,
         "events_json_props": """
 SELECT event_type, count(*)::bigint AS n,
