@@ -134,3 +134,24 @@ def test_repetition_scores_zero_shuffle(spark):
         TS.repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_term_frequencies_inrow_equals_shuffle_and_zero_exchange(spark):
+    """The in-row run-length tf plan (build default) is value-identical
+    to the explode+groupBy shuffle plan and contains NO Exchange —
+    per-doc term counts never need to leave the row."""
+    from local_search_engine_spark.operators.build import (
+        term_frequencies,
+        tokenized_docs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("text", "content")
+    )
+    tok = tokenized_docs(docs)
+    a = term_frequencies(tok, impl="shuffle")
+    b = term_frequencies(tok, impl="inrow")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
