@@ -664,6 +664,26 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(docs, bench, "text", "doc_id", min_quality=0.3)
 
 
+DIVERSE_CAP, DIVERSE_K = 2, 15
+
+
+def q_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result collapsing: BM25 top-k with at most DIVERSE_CAP hits per
+    source — one group cannot monopolize the result page."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.diversity import capped_topk
+
+    idx = _index(spark, sf_dir)
+    scored = score_all(idx, Q_MULTI).withColumn("score", F.round("score", 6))
+    with_src = scored.join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    )
+    return capped_topk(
+        with_src, k=DIVERSE_K, cap=DIVERSE_CAP, group_col="source"
+    ).select("rank", "doc_id", "source", "score", "group_rank")
+
+
 def q_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming watermark dedup: earliest (ts, id)
     arrival per content digest + arrival count. Synthetic monotone
@@ -1266,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "pipeline_clean_corpus": q_pipeline_clean,
         "stream_dedup_first_seen": q_stream_dedup_first_seen,
+        "diverse_topk": q_diverse_topk,
         "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
         "temporal_decay": q_temporal,
@@ -1833,6 +1854,20 @@ dec AS (SELECT d.doc_id,
 SELECT doc_id, is_dup, quality_ok, repetition_pass, decontam_ok,
        (NOT is_dup AND quality_ok AND repetition_pass AND decontam_ok) AS keep
 FROM dupv JOIN qual USING (doc_id) JOIN rep USING (doc_id) JOIN dec USING (doc_id)
+""",
+        "diverse_topk": f"""
+WITH sparse AS ({_bm25_sql(Q_MULTI, 100000)}),
+j AS (SELECT s.doc_id, s.score, d.source
+      FROM sparse s JOIN documents d USING (doc_id)),
+g AS (SELECT doc_id, score, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id)::int AS group_rank
+      FROM j),
+c AS (SELECT * FROM g WHERE group_rank <= {DIVERSE_CAP}
+      ORDER BY score DESC, doc_id LIMIT {DIVERSE_K})
+SELECT row_number() OVER (ORDER BY score DESC, doc_id)::int AS rank,
+       doc_id, source, score, group_rank
+FROM c
 """,
         "stream_dedup_first_seen": """
 WITH keyed AS (SELECT md5(text) AS text_md5, doc_id, doc_id * 60000000 AS ts

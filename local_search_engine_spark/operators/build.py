@@ -67,8 +67,9 @@ def with_doc_ids(corpus, partitions: int | None = None):
            pass must see identical partition boundaries — range sampling
            must not re-run per action)
         → one tokenize-free count-per-partition job → driver prefix sums
-        → mapInPandas enumeration: doc_id = partition offset + local row
-           position (Arrow batches arrive in partition order).
+        → JVM enumeration: row_number() windowed WITHIN each range
+           partition (parallel) + the prefix offset via a broadcast map;
+           doc_id = offset + local row position.
 
     The v0 shape — row_number() over a global ORDER BY window — funneled
     every byte of content through ONE task and left the result
@@ -79,19 +80,17 @@ def with_doc_ids(corpus, partitions: int | None = None):
     same global rank, since within-partition order + prefix offsets
     reconstruct the total order.
 
-    Only the KEY COLUMNS flow through the rank machinery (and through
-    Python): ids are computed over a (repo, path, commit) projection —
-    Parquet column pruning keeps content out of that scan entirely —
-    and joined back to the corpus JVM-side. Shipping full rows (content
-    included) through the mapInPandas enumeration measured ~2x SLOWER
-    at 8 executors than at 2: the Arrow round trip of the content
-    column was the whole cost, and it anti-scaled. The keys-only rank
-    is also what survives 10^12 files — the persisted rank state is
-    keys, not corpus.
+    Only the KEY COLUMNS flow through the rank machinery: ids are
+    computed over a (repo, path, commit) projection — Parquet column
+    pruning keeps content out of that scan entirely — and joined back
+    to the corpus JVM-side. (An earlier mapInPandas enumeration shipping
+    full rows measured ~2x SLOWER at 8 executors than at 2: the Arrow
+    round trip of the content column was the whole cost, and it
+    anti-scaled; the keys-only JVM rank is also what survives 10^12
+    files — the persisted rank state is keys, not corpus.)
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     spark = corpus.sparkSession
     if partitions is None:
@@ -114,22 +113,24 @@ def with_doc_ids(corpus, partitions: int | None = None):
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_fields = [f for f in k.schema.fields if f.name != "_pid"]
-    out_schema = T.StructType(out_fields + [T.StructField("doc_id", T.LongType())])
+    # enumeration is pure JVM: row_number windowed WITHIN each range
+    # partition (parallel across partitions — never a global window) +
+    # the driver-computed prefix offset joined in via a broadcast map.
+    # The earlier mapInPandas enumeration was semantically identical but
+    # put an Arrow round trip of the key table in the build's hot path —
+    # the only Python stage in the whole build; with it gone the timed
+    # build is 100% JVM except the posting-block codec.
+    from pyspark.sql import Window
 
-    def assign(batches):
-        pos = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if pos is None:
-                pos = offsets[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf["doc_id"] = range(pos, pos + len(pdf))
-            pos += len(pdf)
-            yield pdf
-
-    ids = k.mapInPandas(assign, out_schema)
+    off = F.create_map(
+        *[F.lit(x) for pid, o in sorted(offsets.items()) for x in (pid, o)]
+    )
+    w = Window.partitionBy("_pid").orderBy(*key)
+    ids = (
+        k.withColumn("_local", F.row_number().over(w))
+        .withColumn("doc_id", off[F.col("_pid")] + F.col("_local") - 1)
+        .drop("_pid", "_local")
+    )
     # acc (total docs) is already known exactly — broadcast the id table
     # outright when it is small so the CONTENT never shuffles: tokenize
     # then runs straight off the (column-pruned) source scan at full
@@ -151,27 +152,35 @@ def tokenized_docs(docs, text_col: str = "content", use_pandas_udf: bool = False
     return docs.withColumn("tokens", tok).withColumn("doc_len", F.size("tokens"))
 
 
-def term_frequencies(tok_docs, impl: str = "shuffle"):
+def term_frequencies(tok_docs, impl: str = "auto"):
     """A1: per-doc term frequencies, two plans:
 
-    impl='shuffle' (default): explode(tokens) → groupBy(doc_id, term).
-    Catalyst plans partial hash agg (map-side combine on the exploded
-    stream) → shuffle on (doc_id, term) → final agg; hot terms do NOT
-    skew this shuffle because the key includes doc_id.
+    impl='shuffle': explode(tokens) → groupBy(doc_id, term). Catalyst
+    plans partial hash agg (map-side combine on the exploded stream) →
+    shuffle on (doc_id, term) → final agg; hot terms do NOT skew this
+    shuffle because the key includes doc_id.
 
     impl='inrow': tf never leaves the row — all of a doc's tokens are
     already co-located, so grouping by (doc_id, term) needs no exchange
     at all: array_sort(tokens) → run boundaries (positions where the
     sorted stream changes) → (term, run length) structs → explode.
-    ZERO shuffle; the exploded output is still clustered by doc_id
-    (useful to downstream doc-keyed aggs). The boundary scan is
-    interpreted Catalyst lambdas (~4 O(n) passes/doc) — cheaper than
-    shuffling every distinct (doc, term) pair once the corpus stops
-    fitting in page cache, which is why it exists; measured equal-or-
-    better at sandbox scales and strictly better where shuffle spills.
+    ZERO shuffle; the exploded output is still clustered by doc_id.
+
+    impl='auto' (default) picks by topology, exactly as measured:
+    single-JVM local[*] → 'inrow' (40 k-doc full build 64-67 s → 34-35 s:
+    the in-process "shuffle" still pays hash-table + row serialization
+    with no network to save, so removing it is pure win); any
+    multi-executor master → 'shuffle' (4×4-executor local-cluster
+    persisted build: shuffle 157 s vs inrow 183 s on a quiet box — the
+    interpreted sort/boundary lambdas cost more than a loopback shuffle;
+    on a real network-attached cluster the balance shifts back toward
+    'inrow', so the knob stays exposed).
     """
     from pyspark.sql import functions as F
 
+    if impl == "auto":
+        master = tok_docs.sparkSession.conf.get("spark.master", "")
+        impl = "inrow" if master.startswith("local[") else "shuffle"
     if impl == "shuffle":
         return (
             tok_docs.select("doc_id", F.explode("tokens").alias("term"))
@@ -261,7 +270,7 @@ def build_index_from(
     params: BM25Params | None = None,
     use_pandas_udf: bool = False,
     cache: bool = True,
-    tf_impl: str = "inrow",
+    tf_impl: str = "auto",
 ) -> InvertedIndex:
     """Index build over ANY table that already carries a unique doc_id
     bigint column + a text column (e.g. the testdata `documents` table).
@@ -315,7 +324,7 @@ def build_index(
     params: BM25Params | None = None,
     use_pandas_udf: bool = False,
     cache: bool = True,
-    tf_impl: str = "inrow",
+    tf_impl: str = "auto",
 ) -> InvertedIndex:
     """End-to-end logical index build over an input_hint-shaped corpus
     (repo, path, commit, lang, content): assigns the canonical doc_id,

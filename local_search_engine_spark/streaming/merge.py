@@ -124,7 +124,8 @@ class PersistedIndexState:
         if self.committed(batch_id):
             return None
         tok = tokenized_docs(docs_with_id, text_col=text_col)
-        tf = term_frequencies(tok).cache()
+        # topology-auto tf (see build.term_frequencies): in-row single-JVM
+        tf = term_frequencies(tok, impl="auto").cache()
         tf.write.mode("overwrite").parquet(
             os.path.join(self.dir, "tf", f"batch={batch_id}")
         )
