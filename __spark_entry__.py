@@ -664,6 +664,49 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(docs, bench, "text", "doc_id", min_quality=0.3)
 
 
+def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 depth: exact per-language length-distribution rollup — exact
+    interpolated percentiles (Spark `percentile` ≡ DuckDB quantile_cont,
+    both linear interpolation over the sorted values), not approx
+    sketches, so the oracle can hash-match."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_chars"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/chunk-level dedup: exact-dedup keep-verdicts over the
+    CHUNK table (fixed-stride chunker), keyed by (doc_id, chunk_id) —
+    the sub-document dedup a boilerplate-heavy corpus needs (license
+    headers, repeated imports) that doc-level dedup cannot see."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.chunking import chunk_docs
+    from local_search_engine_spark.operators.dedup import exact_dedup_keep
+
+    chunks = chunk_docs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+    ).select(
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias("unit_id"),
+        "chunk_text",
+    )
+    return exact_dedup_keep(chunks, "chunk_text", "unit_id").select(
+        F.col("doc_id").alias("unit_id"),
+        F.col("canonical_id").alias("canonical_unit_id"),
+        "is_dup",
+    )
+
+
 DIVERSE_CAP, DIVERSE_K = 2, 15
 
 
@@ -1287,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean,
         "stream_dedup_first_seen": q_stream_dedup_first_seen,
         "diverse_topk": q_diverse_topk,
+        "corpus_percentiles": q_corpus_percentiles,
+        "dedup_chunks_exact": q_dedup_chunks,
         "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
         "temporal_decay": q_temporal,
@@ -1854,6 +1899,28 @@ dec AS (SELECT d.doc_id,
 SELECT doc_id, is_dup, quality_ok, repetition_pass, decontam_ok,
        (NOT is_dup AND quality_ok AND repetition_pass AND decontam_ok) AS keep
 FROM dupv JOIN qual USING (doc_id) JOIN rep USING (doc_id) JOIN dec USING (doc_id)
+""",
+        "corpus_percentiles": """
+SELECT lang, count(*)::bigint AS n,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+       round(avg(n_chars), 6) AS mean_chars,
+       min(n_chars)::bigint AS min_chars,
+       max(n_chars)::bigint AS max_chars
+FROM documents GROUP BY 1
+""",
+        "dedup_chunks_exact": f"""
+WITH ch AS (
+  SELECT doc_id * 1000000 + i AS unit_id,
+         substr(text, i * {CHUNK_SIZE - CHUNK_OVERLAP} + 1, {CHUNK_SIZE}) AS chunk_text
+  FROM documents,
+       unnest(range(greatest(1, ceil((length(text) - {CHUNK_OVERLAP})
+                                     / {float(CHUNK_SIZE - CHUNK_OVERLAP)}))::bigint)) t(i)
+  WHERE length(text) > 0),
+canon AS (SELECT md5(chunk_text) AS m, min(unit_id) AS c FROM ch GROUP BY 1)
+SELECT unit_id, c AS canonical_unit_id, (unit_id <> c) AS is_dup
+FROM ch JOIN canon ON md5(ch.chunk_text) = canon.m
 """,
         "diverse_topk": f"""
 WITH sparse AS ({_bm25_sql(Q_MULTI, 100000)}),
