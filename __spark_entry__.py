@@ -707,6 +707,33 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_N, MMR_K, MMR_LAM = 20, 10, 0.5
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-rank of the dense top-N for one query: relevance
+    balanced against redundancy to already-picked results. Distributed
+    per-query applyInPandas kernel; similarities canonicalized to 6 dp
+    so the DuckDB recursive-CTE oracle reproduces every greedy argmax."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.diversity import mmr_rerank_batch
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cands = (
+        SIM.cosine_scores(emb, qv)
+        .filter(F.col("id") != 0)
+        .withColumn("score", F.round("cosine", 6))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(MMR_N)
+        .select(F.lit(0).alias("qid"), F.col("id").alias("doc_id"), "score")
+    )
+    return mmr_rerank_batch(
+        cands, emb, k=MMR_K, lam=MMR_LAM, round_sims=6
+    ).select(F.col("rank").cast("int").alias("rank"), "doc_id")
+
+
 DIVERSE_CAP, DIVERSE_K = 2, 15
 
 
@@ -1332,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_topk": q_diverse_topk,
         "corpus_percentiles": q_corpus_percentiles,
         "dedup_chunks_exact": q_dedup_chunks,
+        "mmr_rerank": q_mmr_rerank,
         "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
         "temporal_decay": q_temporal,
@@ -1899,6 +1927,38 @@ dec AS (SELECT d.doc_id,
 SELECT doc_id, is_dup, quality_ok, repetition_pass, decontam_ok,
        (NOT is_dup AND quality_ok AND repetition_pass AND decontam_ok) AS keep
 FROM dupv JOIN qual USING (doc_id) JOIN rep USING (doc_id) JOIN dec USING (doc_id)
+""",
+        "mmr_rerank": f"""
+WITH RECURSIVE
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS rel
+  FROM embeddings e WHERE e.vec_id <> 0),
+cand AS (SELECT doc_id, rel FROM scored ORDER BY rel DESC, doc_id LIMIT {MMR_N}),
+sims AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         round(list_cosine_similarity(ex.embedding, ey.embedding), 6) AS sim
+  FROM cand x JOIN embeddings ex ON ex.vec_id = x.doc_id
+  CROSS JOIN cand y JOIN embeddings ey ON ey.vec_id = y.doc_id
+  WHERE x.doc_id <> y.doc_id),
+picked(step, doc_id, ids) AS (
+  (SELECT 1, doc_id, [doc_id] FROM cand
+   ORDER BY {MMR_LAM} * rel DESC, doc_id LIMIT 1)
+  UNION ALL
+  SELECT step + 1, nxt.doc_id, list_append(ids, nxt.doc_id)
+  FROM picked, LATERAL (
+    SELECT c.doc_id
+    FROM cand c
+    WHERE NOT list_contains(picked.ids, c.doc_id)
+    ORDER BY {MMR_LAM} * c.rel
+             - {1.0 - MMR_LAM} * (SELECT max(s.sim) FROM sims s
+                                  WHERE s.a = c.doc_id
+                                    AND list_contains(picked.ids, s.b)) DESC,
+             c.doc_id
+    LIMIT 1) nxt
+  WHERE step < {MMR_K})
+SELECT step::int AS rank, doc_id FROM picked
 """,
         "corpus_percentiles": """
 SELECT lang, count(*)::bigint AS n,

@@ -95,6 +95,7 @@ def mmr_rerank_batch(
     rel_col: str = "score",
     vec_col: str = "embedding",
     emb_id_col: str = "vec_id",
+    round_sims: int | None = None,
 ):
     """Distributed MMR over a BATCH of queries: candidates
     (qid, doc_id, score) — each query's already-cut top-n — join their
@@ -104,7 +105,13 @@ def mmr_rerank_batch(
     each group is top-n-bounded (~10^2 rows) so no group can exceed a
     task. Returns (qid, rank, doc_id, mmr_score ordering implied by
     rank). Cosine similarity over the embedding columns; ties broken by
-    ascending doc_id (the engine rule, matching mmr_rerank_py)."""
+    ascending doc_id (the engine rule, matching mmr_rerank_py).
+
+    round_sims: round pairwise similarities to N decimals before the
+    greedy scores — makes the selection bit-reproducible across engines
+    (cross-engine float summation order differs in the last ulp, enough
+    to flip an argmax; 6-dp canonical similarity is the same contract
+    every oracle-gated score in this engine uses)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -129,6 +136,8 @@ def mmr_rerank_batch(
         norms[norms == 0.0] = 1.0
         u = v / norms[:, None]
         sim = u @ u.T
+        if round_sims is not None:
+            sim = np.round(sim, round_sims)
         rel = pdf["rel"].to_numpy(dtype=np.float64)
         n = len(pdf)
         picked: list[int] = []
