@@ -105,3 +105,22 @@ def test_clean_corpus_planted_verdicts(spark):
         r["doc_id"]: r for r in clean_corpus(docs, None, min_quality=0.3).collect()
     }
     assert rows_nb[5]["decontam_ok"] and rows_nb[5]["keep"]
+
+
+def test_hash_sample_sql_twin_matches(spark):
+    """The DuckDB WHERE-clause twin selects exactly the same rows as the
+    Spark predicate (the consistent-sampling cross-engine contract)."""
+    import duckdb
+
+    got = sorted(
+        r["doc_id"] for r in S.hash_sample(_docs(spark), 0.3, salt="tw").collect()
+    )
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{SF0001}/documents.parquet') "
+            f"WHERE {S.hash_sample_sql(0.3, salt='tw')} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
