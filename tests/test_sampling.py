@@ -124,3 +124,38 @@ def test_hash_sample_sql_twin_matches(spark):
         ).fetchall()
     ]
     assert got == want and len(got) > 0
+
+
+def test_clean_corpus_empty_and_all_dup_corpora(spark):
+    """Degenerate corpora: empty input yields an empty verdict table;
+    an all-identical corpus keeps exactly one doc."""
+    from local_search_engine_spark.operators.pipeline import clean_corpus
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert clean_corpus(empty, None).count() == 0
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while many other "
+        "animals watch carefully from the tall green grass nearby today"
+    )
+    dups = spark.createDataFrame(
+        [(i, good) for i in range(5)], "doc_id long, text string"
+    )
+    v = clean_corpus(dups, None).collect()
+    keepers = [r["doc_id"] for r in v if r["keep"]]
+    assert keepers == [0]  # min-id survivor only
+
+
+def test_benchmark_contamination_empty_benchmark(spark):
+    """An empty benchmark contaminates nothing (left join finds no
+    hits); every doc still gets a verdict row."""
+    from local_search_engine_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "x")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in D.benchmark_contamination(docs, bench).collect()}
+    assert len(rows) == 2
+    assert rows[1]["n_hit"] == 0 and not rows[1]["is_contaminated"]
+    assert rows[2]["n_shingles"] == 0 and not rows[2]["is_contaminated"]
