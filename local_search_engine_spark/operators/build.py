@@ -113,22 +113,28 @@ def with_doc_ids(corpus, partitions: int | None = None):
         offsets[pid] = acc
         acc += counts[pid]
 
-    # enumeration is pure JVM: row_number windowed WITHIN each range
-    # partition (parallel across partitions — never a global window) +
-    # the driver-computed prefix offset joined in via a broadcast map.
-    # The earlier mapInPandas enumeration was semantically identical but
-    # put an Arrow round trip of the key table in the build's hot path —
-    # the only Python stage in the whole build; with it gone the timed
-    # build is 100% JVM except the posting-block codec.
-    from pyspark.sql import Window
-
+    # enumeration is pure JVM and EXCHANGE-FREE: the persisted partitions
+    # are already sorted by the (unique) key, so the 0-based in-partition
+    # row position IS the local rank. monotonically_increasing_id packs
+    # exactly that position into its low 33 bits (partition id in the
+    # high bits), evaluated as a narrow projection over the cached
+    # layout — no window, no hash exchange of the key table. (An earlier
+    # row_number() over Window.partitionBy(_pid) was semantically
+    # identical but Catalyst cannot see that _pid matches the physical
+    # partitioning, so it inserted a full hash Exchange of the key table
+    # before the window; an earlier-still mapInPandas version put an
+    # Arrow round trip in the hot path.) Determinism: the key is unique,
+    # so sortWithinPartitions pins a total order per partition even if a
+    # cached block is evicted and recomputed.
     off = F.create_map(
         *[F.lit(x) for pid, o in sorted(offsets.items()) for x in (pid, o)]
     )
-    w = Window.partitionBy("_pid").orderBy(*key)
     ids = (
-        k.withColumn("_local", F.row_number().over(w))
-        .withColumn("doc_id", off[F.col("_pid")] + F.col("_local") - 1)
+        k.withColumn(
+            "_local",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+        .withColumn("doc_id", off[F.col("_pid")] + F.col("_local"))
         .drop("_pid", "_local")
     )
     # acc (total docs) is already known exactly — broadcast the id table
@@ -180,7 +186,13 @@ def term_frequencies(tok_docs, impl: str = "auto"):
 
     if impl == "auto":
         master = tok_docs.sparkSession.conf.get("spark.master", "")
-        impl = "inrow" if master.startswith("local[") else "shuffle"
+        # bare "local" (no brackets) is also single-JVM; "local-cluster"
+        # must stay on the shuffle path, which the bracket check ensures
+        impl = (
+            "inrow"
+            if master == "local" or master.startswith("local[")
+            else "shuffle"
+        )
     if impl == "shuffle":
         return (
             tok_docs.select("doc_id", F.explode("tokens").alias("term"))
@@ -216,6 +228,12 @@ def term_frequencies(tok_docs, impl: str = "auto"):
         lambda a, b: F.struct(
             F.element_at(s, a).alias("term"), (b - a).cast("long").alias("tf")
         ),
+    )
+    # token-less doc: starts=[] but ends=[1], and zip_with null-pads the
+    # shorter side — without this guard the doc emits one spurious
+    # (term=NULL, tf=NULL) row that the shuffle plan never produces
+    runs = F.when(n > 0, runs).otherwise(
+        F.array().cast("array<struct<term:string,tf:bigint>>")
     )
     return staged.select("doc_id", F.explode(runs).alias("r")).select(
         "doc_id", F.col("r.term").alias("term"), F.col("r.tf").alias("tf")

@@ -136,10 +136,42 @@ def test_repetition_scores_zero_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_doc_id_enumeration_dense_deterministic_no_window(spark):
+    """with_doc_ids assigns the dense 0-based global rank by the unique
+    (repo, path, commit) key, deterministically across evaluations, and
+    the enumeration itself plans NO Window and NO Exchange above the
+    cached sorted key table (the monotonically_increasing_id low-bits
+    local rank replaces the old row_number window, which forced a full
+    hash Exchange of the key table)."""
+    from local_search_engine_spark.operators.build import with_doc_ids
+    from local_search_engine_spark.sources.corpus import gen_corpus_spark
+
+    corpus = gen_corpus_spark(spark, 300)
+    ids = with_doc_ids(corpus)
+    rows = ids.select("repo", "path", "commit", "doc_id").collect()
+    expect = sorted(rows, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    assert [r["doc_id"] for r in expect] == list(range(len(rows)))
+    again = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"] for r in ids.collect()
+    }
+    assert all(
+        again[(r["repo"], r["path"], r["commit"])] == r["doc_id"] for r in rows
+    )
+    plan = ids._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the only Exchange allowed in the doc-id plan is the join back to
+    # the corpus (broadcast at this size → none at all) — the cached
+    # range shuffle is below the InMemoryTableScan and does not re-plan
+    above_cache = plan.split("InMemoryTableScan")[0]
+    assert "Exchange hashpartitioning" not in above_cache, plan
+
+
 def test_term_frequencies_inrow_equals_shuffle_and_zero_exchange(spark):
     """The in-row run-length tf plan (build default) is value-identical
     to the explode+groupBy shuffle plan and contains NO Exchange —
     per-doc term counts never need to leave the row."""
+    from pyspark.sql import functions as F
+
     from local_search_engine_spark.operators.build import (
         term_frequencies,
         tokenized_docs,
@@ -149,9 +181,19 @@ def test_term_frequencies_inrow_equals_shuffle_and_zero_exchange(spark):
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .withColumnRenamed("text", "content")
     )
+    # token-less docs (empty text / everything below MIN_TOKEN_LEN) must
+    # produce NO tf row on either plan — the inrow zip_with null-pad
+    # regression emitted a (doc_id, NULL, NULL) row for them
+    extra = spark.createDataFrame(
+        [(-1, ""), (-2, "a b"), (-3, "zz zz yy")], "doc_id long, content string"
+    )
+    docs = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "content"
+    ).unionByName(extra)
     tok = tokenized_docs(docs)
     a = term_frequencies(tok, impl="shuffle")
     b = term_frequencies(tok, impl="inrow")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert b.where(F.col("term").isNull()).count() == 0
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan

@@ -32,12 +32,18 @@ def test_stream_dedup_matches_batch_twin(spark, tmp_path):
     b2 = spark.createDataFrame(_rows(30, 40, dup_of=30) + _rows(40, 60), SCHEMA)
     # one file per drop + distinct mtimes + maxFilesPerTrigger=1 pins the
     # micro-batch order to arrival order (duplicates must arrive AFTER
-    # their originals for the winner comparison to be deterministic)
-    import time
-
+    # their originals for the winner comparison to be deterministic).
+    # mtimes are set EXPLICITLY via os.utime — a sleep-based gap flakes
+    # on filesystems with coarse mtime granularity / CI clock skew
     b1.coalesce(1).write.mode("append").parquet(watch)
-    time.sleep(1.1)
+    for f in os.listdir(watch):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(watch, f), (1_700_000_000, 1_700_000_000))
     b2.coalesce(1).write.mode("append").parquet(watch)
+    for f in os.listdir(watch):
+        p = os.path.join(watch, f)
+        if f.endswith(".parquet") and os.path.getmtime(p) != 1_700_000_000:
+            os.utime(p, (1_700_000_100, 1_700_000_100))
 
     stream = (
         spark.readStream.schema(SCHEMA)
