@@ -47,18 +47,22 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _cosine_expr(query_vec):
+    """Column expr: cosine(F.col("v"), literal query vector)."""
+    from pyspark.sql import functions as F
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return _dot(F.col("v"), qcol) / (_norm(F.col("v")) * _norm(qcol))
+
+
 def cosine_scores(embeddings, query_vec, id_col: str = "vec_id", vec_col: str = "embedding"):
     """(id, cosine) for every row vs a literal query vector."""
     from pyspark.sql import functions as F
 
-    q = [float(x) for x in query_vec]
-    qcol = F.array(*[F.lit(x) for x in q])
     v = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    return v.select(
-        "id", (_dot(F.col("v"), qcol) / (_norm(F.col("v")) * _norm(qcol))).alias("cosine")
-    )
+    return v.select("id", _cosine_expr(query_vec).alias("cosine"))
 
 
 def cosine_topk(embeddings, query_vec, k: int, id_col: str = "vec_id", vec_col: str = "embedding", exclude_id=None):
@@ -117,19 +121,26 @@ def srp_hyperplanes(dim: int, bits: int = SRP_BITS) -> list[list[float]]:
     return planes
 
 
-def srp_lsh_buckets(embeddings, dim: int, bits: int = SRP_BITS, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """(id, bucket): signed-random-projection bucket per vector.
-    bucket bit j = 1 iff dot(v, plane_j) > 0. Pure built-in expressions."""
+def _srp_bucket_expr(planes):
+    """Column expr: SRP bucket of F.col("v") — bit j = 1 iff
+    dot(v, plane_j) > 0. Pure built-in expressions."""
     from pyspark.sql import functions as F
 
-    planes = srp_hyperplanes(dim, bits)
-    v = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         pcol = F.array(*[F.lit(x) for x in plane])
         bit = F.when(_dot(F.col("v"), pcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long")
-    return v.select("id", bucket.alias("bucket"))
+    return bucket
+
+
+def srp_lsh_buckets(embeddings, dim: int, bits: int = SRP_BITS, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(id, bucket): signed-random-projection bucket per vector."""
+    from pyspark.sql import functions as F
+
+    planes = srp_hyperplanes(dim, bits)
+    v = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    return v.select("id", _srp_bucket_expr(planes).alias("bucket"))
 
 
 def ivf_train_centroids(
@@ -139,23 +150,41 @@ def ivf_train_centroids(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeding: str = "hash",
 ) -> list[list[float]]:
-    """Deterministic IVF coarse quantizer: seed centroids are the
-    n_centroids vectors with the SMALLEST ids (deterministic and
-    oracle-reproducible — swap in kmeans|| seeding for production
-    recall), refined by `iters` Lloyd rounds, each one distributed pass:
-    assign every vector to its nearest centroid (argmin L2, pure column
-    exprs over broadcast centroid literals) → per-dimension mean per
-    cluster (one groupBy) → collect the n_centroids×dim table (tiny).
-    Empty clusters keep their previous centroid."""
+    """Deterministic IVF coarse quantizer, refined by `iters` Lloyd
+    rounds, each one distributed pass: assign every vector to its
+    nearest centroid (argmin L2, pure column exprs over broadcast
+    centroid literals) → per-dimension mean per cluster (one groupBy) →
+    collect the n_centroids×dim table (tiny). Empty clusters keep their
+    previous centroid.
+
+    seeding='hash' (default): seeds are the n_centroids vectors with the
+    smallest (h32('ivfseed:' || id), id) — deterministic AND
+    oracle-reproducible like lowest-id seeding, but a uniform sample of
+    the corpus (kmeans||-style spread): with clustered or sorted ids the
+    lowest-id seeds all land in one region and one Lloyd round cannot
+    recover a degenerate quantizer. seeding='lowest_id' keeps the old
+    behavior for comparison."""
     from pyspark.sql import functions as F
 
-    seed_rows = (
-        embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-        .orderBy("id")
-        .limit(n_centroids)
-        .collect()
+    v0 = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
+    if seeding == "hash":
+        seed_rows = (
+            v0.withColumn(
+                "_hk",
+                h32_col(F.concat(F.lit("ivfseed:"), F.col("id").cast("string"))),
+            )
+            .orderBy("_hk", "id")
+            .limit(n_centroids)
+            .collect()
+        )
+    elif seeding == "lowest_id":
+        seed_rows = v0.orderBy("id").limit(n_centroids).collect()
+    else:
+        raise ValueError(f"unknown seeding: {seeding!r}")
     centroids = [[float(x) for x in r["v"]] for r in seed_rows]
     v = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     for _ in range(iters):
@@ -225,9 +254,15 @@ def ivf_topk(
     query (driver-side — centroids are tiny), score ONLY vectors assigned
     to those clusters (exact cosine), TakeOrderedAndProject top-k. The
     candidate fraction is ~nprobe/n_centroids of the corpus — the
-    standard IVF recall/cost dial. At scale, persist ivf_assignments
-    partitioned BY cluster so a probe prunes whole partitions at scan
-    time (same layout trick as the WAND term_bucket directories)."""
+    standard IVF recall/cost dial.
+
+    PRUNE BEFORE SCORE: assignment + cluster filter + cosine are all
+    expressions over the same row — one narrow projection, the cosine
+    evaluated ONLY on candidate-cluster survivors, no join. (An earlier
+    version joined candidate ids onto a full-corpus cosine_scores
+    projection, computing cosine for every vector.) For scan-time
+    pruning on top, use persist_ivf_index + ivf_topk_persisted — the
+    persisted layout is what survives 100 TB."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -237,10 +272,11 @@ def ivf_topk(
         for i, c in enumerate(centroids)
     )
     probes = [i for _, i in dists[:nprobe]]
-    cand = ivf_assignments(embeddings, centroids, id_col, vec_col).filter(
-        F.col("cluster").isin(probes)
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    s = cosine_scores(embeddings, q, id_col, vec_col).join(cand.select("id"), "id")
+    cand = v.filter(_ivf_assign_expr(centroids).isin(probes))
+    s = cand.select("id", _cosine_expr(q).alias("cosine"))
     top = s.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("cosine"), F.asc("id"))
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")
@@ -331,18 +367,103 @@ def srp_lsh_topk(
     multi-probe LSH. probe_hamming=0 probes the single exact bucket;
     raise it when the bucket may hold < k vectors (each +1 multiplies
     candidate buckets by ~bits choose r, trading recall for work — the
-    exactness contract stays with cosine_topk). The probe is a cheap
-    bit_count filter on the bucket column, not a join explosion.
+    exactness contract stays with cosine_topk).
+
+    PRUNE BEFORE SCORE: bucket + filter + cosine are all expressions
+    over the same row, so the plan is one narrow projection — the
+    bucket filter runs first and the dim-d cosine (the expensive part)
+    is evaluated ONLY on candidates. No join, no shuffle until the
+    top-k heap. (An earlier version joined candidate ids onto a
+    full-corpus cosine_scores projection, which computed cosine for
+    EVERY vector and threw the LSH saving away.) For scan-time pruning
+    on top, use persist_srp_index + srp_lsh_topk_persisted.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     qbucket = query_bucket(query_vec, dim, bits)
-    buckets = srp_lsh_buckets(embeddings, dim, bits, id_col, vec_col)
-    cand_ids = buckets.filter(
-        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
-    ).select("id")
-    s = cosine_scores(embeddings, query_vec, id_col, vec_col).join(cand_ids, "id")
+    planes = srp_hyperplanes(dim, bits)
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cand = v.filter(
+        F.bit_count(
+            _srp_bucket_expr(planes).bitwiseXOR(F.lit(qbucket))
+        ) <= probe_hamming
+    )
+    s = cand.select("id", _cosine_expr(query_vec).alias("cosine"))
+    top = s.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")
+
+
+def probe_buckets(qbucket: int, bits: int, probe_hamming: int) -> list[int]:
+    """All bucket ids within Hamming distance `probe_hamming` of the
+    query bucket (driver-side enumeration — C(bits, ≤r) values)."""
+    from itertools import combinations
+
+    out = [qbucket]
+    for r in range(1, probe_hamming + 1):
+        for flips in combinations(range(bits), r):
+            b = qbucket
+            for j in flips:
+                b ^= 1 << j
+            out.append(b)
+    return sorted(out)
+
+
+def persist_srp_index(
+    embeddings,
+    dim: int,
+    index_dir: str,
+    bits: int = SRP_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Write the SRP-LSH inverted file to parquet PARTITIONED BY bucket
+    (plus a meta.json carrying dim/bits): a probe then prunes whole
+    bucket directories at scan time (PartitionFilters in the FileScan —
+    same layout trick as the IVF inverted file and the WAND term_bucket
+    directories). Without this, every query re-derives buckets and
+    scans the full embedding table."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    planes = srp_hyperplanes(dim, bits)
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    withb = v.withColumn("bucket", _srp_bucket_expr(planes))
+    withb.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"dim": dim, "bits": bits}, f)
+
+
+def srp_lsh_topk_persisted(
+    spark, index_dir: str, query_vec, k: int, probe_hamming: int = 0
+):
+    """SRP-LSH top-k over a persisted bucket-partitioned inverted file:
+    derive the probe bucket list driver-side (no Spark job), scan ONLY
+    those bucket directories (partition pruning — verify with .explain:
+    PartitionFilters [bucket IN (...)]), exact cosine inside."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    qbucket = query_bucket(query_vec, meta["dim"], meta["bits"])
+    probes = probe_buckets(qbucket, meta["bits"], probe_hamming)
+    vec = spark.read.parquet(os.path.join(index_dir, "vectors")).filter(
+        F.col("bucket").isin(probes)
+    )
+    s = vec.select("id", _cosine_expr(query_vec).alias("cosine"))
     top = s.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("cosine"), F.asc("id"))
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")

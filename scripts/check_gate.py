@@ -36,6 +36,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
 
+    # data-derived oracles (chunk_split_separators VALUES literal) must
+    # read the same sf dir the gates run against
+    import os
+
+    os.environ["LSE_ORACLE_SF_DIR"] = sf_dir
+
     import duckdb
     from pyspark.sql import SparkSession
 
