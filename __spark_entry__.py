@@ -1085,6 +1085,27 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("id", "media_type", "width", "height", "n_frames", "size_bytes")
 
 
+def q_multimodal_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary decode (S2 closed): spec-valid PNG/WAV bytes are
+    synthesized per doc (parameters derived from md5(text)), then
+    decode_real parses the actual containers back — signature checks,
+    IHDR big-endian dims, RIFF chunk walk. The oracle replicates the
+    synthesis PARAMETERS from md5(text) in SQL, so the round-trip
+    through genuine binary formats is hash-checked. size_bytes is
+    excluded: the PNG's IDAT length depends on zlib's output, which SQL
+    cannot re-derive (WAV size would be derivable; the column is pinned
+    by pytest instead)."""
+    from local_search_engine_spark.operators.multimodal import (
+        decode_real,
+        extract_metadata,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(_docs(spark, sf_dir), "text", "doc_id")
+    meta = extract_metadata(media, decoder=decode_real)
+    return meta.select("id", "media_type", "width", "height", "n_frames")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1643,7 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
         "temporal_decay": q_temporal,
-        "multimodal_meta": q_multimodal,
+        "multimodal_meta_real": q_multimodal_meta_real,
         "multimodal_frame_sample": q_frame_sample,
         "score_combine": q_score_combine,
         "results_by_source": q_results_by_source,
@@ -2251,6 +2272,21 @@ FROM documents
         "multimodal_frame_sample": f"""
 SELECT doc_id AS id, {_MM_TYPE} AS media_type, f::int AS frame_idx
 FROM documents, unnest(range(0, {_MM_FRAMES}, 4)) t(f)
+""",
+        # decode_real round-trip: the oracle replicates the synthesis
+        # parameters (derived from md5(text) digest bytes) — Spark must
+        # recover exactly these by PARSING the real PNG/WAV containers
+        "multimodal_meta_real": f"""
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
+       (CASE WHEN doc_id % 2 = 0 THEN {_MM_WIDTH}
+             ELSE 8000 + 100 * (('0x' || substr(md5(text), 1, 2))::int % 8)
+        END)::int AS width,
+       (CASE WHEN doc_id % 2 = 0 THEN {_MM_HEIGHT}
+             ELSE 1 + ('0x' || substr(md5(text), 3, 2))::int % 2
+        END)::int AS height,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE {_MM_FRAMES} END)::int AS n_frames
+FROM documents
 """,
         "index_merge_incremental": f"""
 WITH {_BM25_CTES}

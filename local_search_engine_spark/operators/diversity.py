@@ -20,23 +20,46 @@ def capped_topk(
     group_col: str,
     score_col: str = "score",
     id_col: str = "doc_id",
+    presplit: int | None = 32,
 ):
     """Top-k with at most `cap` rows per group: rank within group by
     (score desc, id asc — the engine's pinned tie-break), keep ranks
     <= cap, then global orderBy().limit(k) and final rank.
 
-    Plan shape: the only full-relation operation is the per-group
-    window, partitioned by group_col — parallel across groups (a
-    pathological mega-group is one partition; AQE cannot split a
-    window, so cap upstream result sizes per group if a group can
-    exceed executor memory). The global cut is TakeOrderedAndProject
-    (per-partition k-heap + driver merge) and the final row_number runs
-    over <= k rows — the limit-before-rank rule everywhere else in the
-    engine.
+    MEGA-GROUP GUARD (presplit, default 32): a pathological group
+    holding most of the relation (one giant repo) would otherwise land
+    in ONE window partition — AQE cannot split a window. The guard
+    pre-cuts each (group, salt) shard to its local top-cap first, salt
+    = h32(id) mod presplit: any row in a group's TRUE top-cap has at
+    most cap-1 better group rows in its own shard, so its shard rank is
+    <= cap and the pre-cut never discards a survivor. The final
+    per-group window then sees <= cap * presplit rows per group — a
+    constant — instead of the raw group size. Results are identical for
+    any presplit (deterministic salt; set presplit=None to skip the
+    extra shuffle when groups are known-bounded).
+
+    The global cut is TakeOrderedAndProject (per-partition k-heap +
+    driver merge) and the final row_number runs over <= k rows — the
+    limit-before-rank rule everywhere else in the engine.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ..functions.hashing import h32_col
+
+    if presplit is not None and presplit > 1:
+        w1 = Window.partitionBy(group_col, "_salt").orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        results = (
+            results.withColumn(
+                "_salt",
+                F.pmod(h32_col(F.col(id_col).cast("string")), F.lit(presplit)),
+            )
+            .withColumn("_shard_rank", F.row_number().over(w1))
+            .filter(F.col("_shard_rank") <= cap)
+            .drop("_salt", "_shard_rank")
+        )
     wg = Window.partitionBy(group_col).orderBy(
         F.desc(score_col), F.asc(id_col)
     )

@@ -41,13 +41,153 @@ def synthesize_media(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def decode_real(payload: bytes, media_type: str):
-    """The real-decoder seam. On a production cluster this dispatches to
-    PIL / soundfile / pyav per media_type inside extract_metadata's
-    batch loop. Deliberately unimplemented in this sandbox."""
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a PNG's IHDR chunk — dependency-free parse
+    of the real container format (PNG spec: 8-byte signature, then the
+    IHDR chunk whose first 8 data bytes are width/height, big-endian)."""
+    import struct
+
+    if payload[:8] != PNG_SIG or payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG (bad signature or first chunk not IHDR)")
+    return struct.unpack(">II", payload[16:24])
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, n_samples) from a RIFF/WAVE file —
+    dependency-free chunk walk (fmt then data; PCM block_align =
+    channels * bytes_per_sample)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, block_align, n_samples = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            _, channels, rate, _, block_align, _ = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            if block_align is None:
+                raise ValueError("WAV data chunk before fmt")
+            n_samples = size // block_align
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or n_samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, channels, n_samples
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def build_png(width: int, height: int) -> bytes:
+    """A complete, spec-valid 8-bit grayscale PNG (signature + IHDR +
+    zlib IDAT of zero scanlines + IEND, CRCs included) — the test
+    harness for decode_real; stdlib only."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * width) * height  # filter byte + pixels per row
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def build_wav(rate: int, channels: int, n_samples: int) -> bytes:
+    """A complete PCM16 RIFF/WAVE file of silence — stdlib only."""
+    import struct
+
+    data = b"\x00\x00" * n_samples * channels
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_real(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Real container decode, dispatched by MAGIC BYTES (not the label):
+
+      PNG  -> (width, height, 1)
+      WAVE -> (sample_rate, n_channels, n_samples)   [audio semantics:
+               width := sample rate, height := channels, n_frames :=
+               samples — the same typed-meta columns, documented here]
+
+    Formats beyond PNG/WAV (JPEG, mp4, ...) remain the production seam:
+    wire PIL / pyav here on a cluster that has them."""
+    if payload[:8] == PNG_SIG:
+        w, h = parse_png_header(payload)
+        return (w, h, 1)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, channels, n_samples = parse_wav_header(payload)
+        return (rate, channels, n_samples)
     raise NotImplementedError(
-        "media codec decode requires image/audio libraries not present in "
-        "this environment; wire PIL/ffmpeg here and pass decoder=decode_real"
+        "codec for this container requires media libraries not present in "
+        "this environment; wire PIL/ffmpeg here (PNG and WAV decode natively)"
+    )
+
+
+def synthesize_real_media(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministic REAL media bytes from a text table: even doc_ids
+    get a spec-valid PNG, odd a spec-valid WAV, with container
+    parameters derived from the md5(text) digest bytes (b = digest):
+
+      png: width = 1 + b[0] % 64, height = 1 + b[1] % 64
+      wav: rate = 8000 + 100 * (b[0] % 8), channels = 1 + b[1] % 2,
+           n_samples = 1 + b[2] % 16
+
+    An SQL oracle replicates the PARAMETERS from md5(text) directly, so
+    decode_real's round-trip through genuine binary containers is
+    hash-checkable. Arrow-batched mapInPandas (bytes are built
+    row-locally, no shuffle)."""
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, types, payloads = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                b = hashlib.md5((text or "").encode("utf-8")).digest()
+                if int(did) % 2 == 0:
+                    types.append("png")
+                    payloads.append(build_png(1 + b[0] % 64, 1 + b[1] % 64))
+                else:
+                    types.append("wav")
+                    payloads.append(
+                        build_wav(8000 + 100 * (b[0] % 8), 1 + b[1] % 2, 1 + b[2] % 16)
+                    )
+                ids.append(int(did))
+            yield pd.DataFrame(
+                {"id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, "id long, media_type string, payload binary"
     )
 
 

@@ -36,6 +36,39 @@ def test_capped_topk_tiebreak_by_id(spark):
     assert got == [1, 3, 7]
 
 
+def test_capped_topk_megagroup_guard(spark):
+    """With one group holding >50% of all rows, the presplit guard
+    pre-cuts each (group, salt) shard to its local top-cap, so NO
+    window over the full relation is partitioned by group alone — and
+    results are identical with the guard on, off, and at any presplit."""
+    rows = [(i, "MEGA", float(1000 - i)) for i in range(600)] + [
+        (1000 + i, f"g{i % 7}", float(500 - i)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    base = [
+        tuple(r)
+        for r in capped_topk(df, k=20, cap=3, group_col="source", presplit=None)
+        .orderBy("rank")
+        .collect()
+    ]
+    for ps in (2, 32):
+        got = [
+            tuple(r)
+            for r in capped_topk(df, k=20, cap=3, group_col="source", presplit=ps)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == base, ps
+    guarded = capped_topk(df, k=20, cap=3, group_col="source", presplit=32)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    # the guard's salted window must be in the executed plan: the only
+    # window that sees the FULL relation partitions by (source, _salt),
+    # so the mega-group splits across 32 shard partitions; the
+    # group-only window upstream of it sees <= cap*presplit rows/group
+    assert "_salt" in plan, plan
+    assert plan.count("Window") >= 3, plan  # salted + per-group + final rank
+
+
 def test_mmr_rerank_balances_relevance_and_redundancy():
     # b is nearly identical to a; with lambda 0.5 the reranker must
     # prefer the less-relevant-but-novel c over b at position 2
