@@ -439,7 +439,8 @@ def q_postings_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("int").alias("n"),
         F.col("first_doc_id").cast("long").alias("first_doc_id"),
         F.col("last_doc_id").cast("long").alias("last_doc_id"),
-        F.round("block_max_score", 6).alias("block_max_score"),
+        F.col("block_max_tf").cast("int").alias("block_max_tf"),
+        F.col("block_min_dl").cast("int").alias("block_min_dl"),
     )
 
 
@@ -1849,21 +1850,16 @@ SELECT doc_id,
 FROM tok
 """,
         "postings_blocks": f"""
-WITH {_BM25_CTES},
-scored AS (
-  SELECT tf.term, tf.doc_id,
-         idf.idf * tf.tf * {BM25_K1 + 1.0}
-           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len
-                                    / (SELECT avgdl FROM stats))) AS s
-  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+WITH {_BM25_CTES}
 SELECT term,
        (doc_id // {DOCS_PER_SHARD})::bigint AS part_id,
        (doc_id // {BLOCK_SPAN})::bigint AS block_id,
        count(*)::int AS n,
        min(doc_id) AS first_doc_id,
        max(doc_id) AS last_doc_id,
-       round(max(s), 6) AS block_max_score
-FROM scored GROUP BY 1, 2, 3
+       max(tf.tf)::int AS block_max_tf,
+       min(dl.doc_len)::int AS block_min_dl
+FROM tf JOIN dl USING (doc_id) GROUP BY 1, 2, 3
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_md5,

@@ -112,17 +112,3 @@ def pack_i32(values) -> bytes:
 
 def unpack_i32(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.int32)
-
-
-def bm25_term_scores(
-    tfs: np.ndarray,
-    doc_lens: np.ndarray,
-    idf: float,
-    k1: float,
-    b: float,
-    avgdl: float,
-) -> np.ndarray:
-    """Vectorized per-posting BM25 contribution (qtf=1)."""
-    tf = tfs.astype(np.float64)
-    norm = tf + k1 * (1.0 - b + b * doc_lens.astype(np.float64) / avgdl)
-    return idf * tf * (k1 + 1.0) / norm

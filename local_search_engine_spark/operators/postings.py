@@ -14,17 +14,27 @@ Physical layout — designed for 10^12-doc scale:
     is just its shard blocks read in (part_id, block_id) order.
 
   * Within a shard, blocks are doc-range aligned (block_id =
-    doc_id // block_span) and carry block_max_score = max per-posting
-    BM25 contribution (qtf=1) — the WAND upper bound. Scores are
-    build-time computable because BM25's per-(term,doc) term depends
-    only on (tf, doc_len, idf, avgdl).
+    doc_id // block_span) and carry IDF-FREE block-max metadata:
+    block_max_tf (max tf in the run) and block_min_dl (min doc_len
+    among the run's docs). The WAND upper bound is derived at QUERY
+    time as idf⁺ · qtf · (k1+1)·max_tf / (max_tf + k1·(1−b+b·min_dl/
+    avgdl)) — a true bound because the BM25 contribution is increasing
+    in tf and decreasing in doc_len. Baking the score itself into the
+    block (the earlier design) couples every block to the GLOBAL idf /
+    avgdl: one appended batch changes N, df and avgdl and silently
+    invalidates every block's bound. With doc-local metadata a block
+    depends only on its own shard's (doc_id, tf, doc_len), so
+    incremental maintenance can skip untouched shards soundly
+    (plans/checkpoint.update semantics), at the cost of a marginally
+    looser bound (fewer skips, never wrong results).
 
   * Per-shard doc_len arrays are packed once per shard (int32 binary),
     NOT per posting — query-time scoring looks norms up locally.
 
 Schema:
   postings:     term, term_bucket, part_id, block_id, n, first_doc_id,
-                last_doc_id, doc_ids_vb, tfs_vb, block_max_score
+                last_doc_id, doc_ids_vb, tfs_vb, block_max_tf,
+                block_min_dl
   shard_meta:   part_id, first_doc_id, n_docs, doc_lens (binary i32)
 
 term_bucket = pmod(h32(term), n_buckets) (portable md5-derived hash,
@@ -38,7 +48,7 @@ from __future__ import annotations
 POSTINGS_SCHEMA = (
     "term string, term_bucket int, part_id long, block_id long, n int, "
     "first_doc_id long, last_doc_id long, doc_ids_vb binary, tfs_vb binary, "
-    "block_max_score double"
+    "block_max_tf int, block_min_dl int"
 )
 SHARD_META_SCHEMA = "part_id long, first_doc_id long, n_docs int, doc_lens binary"
 
@@ -54,21 +64,18 @@ def build_postings(
 ):
     """index: operators.build.InvertedIndex → (postings DF, shard_meta DF).
 
-    Plan: tf ⋈ idf ⋈ doc_len → one shuffle on (term_bucket, part_id)
-    via applyInPandas → per-group numpy block encode. The idf and
-    doc_len joins are left to AQE: it converts them to broadcasts at
-    runtime when the side is actually small. Forcing broadcast(idf) is
-    wrong at scale — the vocabulary can be millions of terms (measured:
-    3.2M terms on a 40k-doc synthetic code corpus ⇒ a ~100 MB driver
-    collect+rebroadcast that serialized the whole build).
-    """
+    Plan: tf ⋈ doc_len → one shuffle on (term_bucket, part_id) via
+    applyInPandas → per-group numpy block encode. No idf join: block
+    metadata is idf/avgdl-free by design (see module docstring), so the
+    encode touches ONLY shard-local inputs — which both removes a
+    vocabulary-sized join from the build's hot path and makes per-shard
+    incremental re-encoding sound. The doc_len join is left to AQE
+    (broadcast when actually small)."""
     from pyspark.sql import functions as F
 
     from ..functions.codec import DEFAULT_BLOCK_SPAN
 
     span = block_span or DEFAULT_BLOCK_SPAN
-    k1, b = index.params.k1, index.params.b
-    avgdl = index.avgdl
 
     from ..functions.hashing import h32_col
 
@@ -78,9 +85,7 @@ def build_postings(
     tf = index.tf.withColumn(
         "part_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
     ).withColumn("term_bucket", F.pmod(h32_col(F.col("term")), F.lit(n_buckets)).cast("int"))
-    joined = tf.join(index.idf.select("term", "idf"), "term").join(
-        index.docs.select("doc_id", "doc_len"), "doc_id"
-    )
+    joined = tf.join(index.docs.select("doc_id", "doc_len"), "doc_id")
 
     def encode_group(pdf):
         """One call per (term_bucket, part_id) — NOT per term. Grouping by
@@ -92,7 +97,7 @@ def build_postings(
         import numpy as np
         import pandas as pd
 
-        from ..functions.codec import bm25_term_scores, encode_vb_sliced
+        from ..functions.codec import encode_vb_sliced
 
         cols = [
             "term",
@@ -104,7 +109,8 @@ def build_postings(
             "last_doc_id",
             "doc_ids_vb",
             "tfs_vb",
-            "block_max_score",
+            "block_max_tf",
+            "block_min_dl",
         ]
         if pdf.empty:
             return pd.DataFrame(columns=cols)
@@ -115,8 +121,6 @@ def build_postings(
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["doc_len"].to_numpy(np.int64)
-        idfs = pdf["idf"].to_numpy(np.float64)
-        scores = bm25_term_scores(tfs, dls, idfs, k1, b, avgdl)
         block_ids = doc_ids // span
         n = doc_ids.size
         # run = maximal span of equal (term, block_id) — one output row each
@@ -145,7 +149,12 @@ def build_postings(
                 "last_doc_id": doc_ids[run_ends - 1],
                 "doc_ids_vb": doc_vbs,
                 "tfs_vb": tf_vbs,
-                "block_max_score": np.maximum.reduceat(scores, run_starts),
+                "block_max_tf": np.maximum.reduceat(tfs, run_starts).astype(
+                    np.int32
+                ),
+                "block_min_dl": np.minimum.reduceat(dls, run_starts).astype(
+                    np.int32
+                ),
             },
             columns=cols,
         )

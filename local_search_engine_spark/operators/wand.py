@@ -4,8 +4,12 @@ float scores as the brute-force DataFrame path (tests/test_wand.py
 asserts bit-equality), because
 
   * blocks are doc-range aligned, so a window's upper bound
-    UB(w) = Σ_t qtf_t · block_max_score(t, w) is a true bound on any
-    doc score inside the window;
+    UB(w) = Σ_t qtf_t · idf⁺(t) · g(block_max_tf, block_min_dl) is a
+    true bound on any doc score inside the window (g is the BM25 tf
+    normalizer, increasing in tf and decreasing in doc_len; idf⁺ clamps
+    negative floored idf to 0). The bound is derived HERE from the
+    idf-free block metadata — blocks never bake in global stats, so an
+    incrementally maintained index reuses untouched shards soundly;
   * a window is skipped only when UB(w) ≤ θ (current k-th best): a
     skipped doc could at best TIE θ, and windows are processed in
     ascending doc order with the (score DESC, doc_id ASC) tie-break,
@@ -90,18 +94,30 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
             qw = {t: float(c) for t, c in qtf.items()}
 
             posts_pdf = posts_pdf.sort_values(["block_id", "term"])
+            # per-block upper bound derived from the idf-free metadata:
+            # idf⁺ · qtf · (k1+1)·max_tf / (max_tf + k1·(1−b+b·min_dl/avgdl))
+            # — true bound (BM25 contribution increases in tf, decreases
+            # in dl); idf clamped at 0 because a doc NOT containing a
+            # negatively-scored term would otherwise exceed the "bound"
+            # (negative floored idf is legal when avg_idf < 0)
+            _mt = posts_pdf["block_max_tf"].to_numpy(np.float64)
+            _md = posts_pdf["block_min_dl"].to_numpy(np.float64)
+            _idfp = posts_pdf["idf"].clip(lower=0.0).to_numpy(np.float64)
+            _qwv = posts_pdf["term"].map(qw).to_numpy(np.float64)
+            posts_pdf = posts_pdf.assign(
+                _ub=_idfp
+                * _qwv
+                * _mt
+                * (k1 + 1.0)
+                / (_mt + k1 * (1.0 - b_ + b_ * _md / avgdl))
+            )
             scores = np.zeros(doc_lens.size, dtype=np.float64)
             touched = np.zeros(doc_lens.size, dtype=bool)
             heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
 
             for bid, grp in posts_pdf.groupby("block_id", sort=True):
                 if prune and len(heap) == k:
-                    # clamp negative block maxima to 0: a doc NOT containing
-                    # a negatively-scored term would otherwise exceed the
-                    # "bound" (negative floored idf is legal when avg_idf<0)
-                    ub = float(
-                        (grp["block_max_score"].clip(lower=0.0) * grp["term"].map(qw)).sum()
-                    )
+                    ub = float(grp["_ub"].sum())
                     if ub <= heap[0][0]:
                         continue  # window cannot beat the k-th best
                 base = int(bid) * span
@@ -205,6 +221,17 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
             first_doc = int(meta_pdf["first_doc_id"].iloc[0])
             doc_lens = unpack_i32(meta_pdf["doc_lens"].iloc[0]).astype(np.float64)
             posts_pdf = posts_pdf.sort_values(["block_id", "term"])
+            # query-independent part of the block bound (see score_fn) —
+            # computed once per shard, scaled by each query's qtf below
+            _mt = posts_pdf["block_max_tf"].to_numpy(np.float64)
+            _md = posts_pdf["block_min_dl"].to_numpy(np.float64)
+            _idfp = posts_pdf["idf"].clip(lower=0.0).to_numpy(np.float64)
+            posts_pdf = posts_pdf.assign(
+                _ub1=_idfp
+                * _mt
+                * (k1 + 1.0)
+                / (_mt + k1 * (1.0 - b_ + b_ * _md / avgdl))
+            )
             out_q, out_d, out_s = [], [], []
             for qid, qtf, k in qspecs:
                 qterms = set(qtf)
@@ -217,12 +244,7 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
                 heap: list[tuple[float, int]] = []
                 for bid, grp in sub.groupby("block_id", sort=True):
                     if prune and len(heap) == k:
-                        ub = float(
-                            (
-                                grp["block_max_score"].clip(lower=0.0)
-                                * grp["term"].map(qw)
-                            ).sum()
-                        )
+                        ub = float((grp["_ub1"] * grp["term"].map(qw)).sum())
                         if ub <= heap[0][0]:
                             continue
                     base = int(bid) * span

@@ -126,12 +126,13 @@ def build_persisted_index(
     run_id = uuid.uuid4().hex[:12]
     fp = corpus_fingerprint(corpus, params)
 
-    def stage(unit: str, fn):
-        if man.done(unit, fp):
+    def stage(unit: str, fn, fingerprint: str | None = None):
+        fpr = fingerprint or fp
+        if man.done(unit, fpr):
             return False
         t0 = time.time()
         metrics = fn() or {}
-        man.mark(unit, fp, run_id, wall_ms=int((time.time() - t0) * 1000), **metrics)
+        man.mark(unit, fpr, run_id, wall_ms=int((time.time() - t0) * 1000), **metrics)
         return True
 
     if pre_identified:
@@ -197,10 +198,43 @@ def build_persisted_index(
     # Per-partition-group checkpointing of the heavy stage: group =
     # part_id % n_groups; each group is its own idempotent write +
     # manifest unit, so a killed build resumes at group granularity.
+    #
+    # Each group is keyed on its OWN content fingerprint, not the global
+    # corpus fingerprint: posting blocks are idf/avgdl-free by design
+    # (operators/postings.py), so a group's output depends only on its
+    # shards' (doc_id, content) plus the layout params. After an append
+    # that only adds new doc ranges, every untouched group is a manifest
+    # HIT and only groups containing changed shards re-encode — the
+    # incremental-maintenance path. (The cheap side tables — docs / tf /
+    # idf / stats / shard_meta — stay keyed on the global fingerprint:
+    # idf and stats genuinely change with every append; on Iceberg these
+    # become MERGE-maintained table updates instead of rewrites.)
+    layout = f"dps={docs_per_shard};span={span};nb={n_buckets};ng={n_groups}"
+    gfp: dict[int, str] = {}
+    for r in (
+        idx.docs.select(
+            F.pmod(
+                (F.col("doc_id") / F.lit(docs_per_shard)).cast("long"),
+                F.lit(n_groups),
+            ).alias("g"),
+            "doc_id",
+            "content_sha256",
+        )
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id, content_sha256))").alias("h"),
+        )
+        .collect()
+    ):
+        gfp[int(r["g"])] = f"n={r['n']};h={r['h']};{layout}"
+    for g in range(n_groups):
+        gfp.setdefault(g, f"n=0;h=0;{layout}")
+
     groups = [
         g
         for g in (only_groups if only_groups is not None else range(n_groups))
-        if not man.done(f"postings/group={g}", fp)
+        if not man.done(f"postings/group={g}", gfp[g])
     ]
     group_rows: dict[int, int] = {}
     if groups:
@@ -227,7 +261,9 @@ def build_persisted_index(
     # group writes are independent idempotent units — concurrent jobs
     with ThreadPoolExecutor(max_workers=4) as pool:
         futs = [
-            pool.submit(stage, f"postings/group={g}", lambda g=g: write_group(g))
+            pool.submit(
+                stage, f"postings/group={g}", lambda g=g: write_group(g), gfp[g]
+            )
             for g in groups
         ]
         for f in futs:

@@ -35,7 +35,8 @@ def _postings_content(spark, d):
             r["last_doc_id"],
             bytes(r["doc_ids_vb"]),
             bytes(r["tfs_vb"]),
-            r["block_max_score"],
+            r["block_max_tf"],
+            r["block_min_dl"],
         )
         for r in rows
     )
@@ -68,6 +69,55 @@ def test_resume_skips_done_and_matches_single_shot(spark, tmp_path):
     with open(os.path.join(resumed, "_metrics.jsonl")) as f:
         lines = [json.loads(ln) for ln in f]
     assert {ln["unit"] for ln in lines} == set(run_ids)
+
+
+def test_incremental_append_skips_untouched_shards(spark, tmp_path):
+    """Incremental postings maintenance: after appending docs with NEW
+    (tail) doc ids, a rebuild into the same index dir re-encodes ONLY
+    the groups whose shards changed — untouched groups are manifest
+    hits (posting blocks are idf-free, so appends cannot invalidate
+    them) — and WAND top-k over the updated index is identical to a
+    full from-scratch rebuild over the union corpus."""
+    from pyspark.sql import functions as F
+
+    base = gen_corpus_spark(spark, 64, partitions=8)
+    extra = (
+        gen_corpus_spark(spark, 80, partitions=8)
+        .orderBy("repo", "path", "commit")
+        .limit(16)
+        # push the appended keys PAST every base key so base doc ids
+        # (rank by key) are unchanged — the append-only id contract
+        .withColumn("repo", F.concat(F.lit("zzz-append/"), F.col("repo")))
+    )
+    union = base.unionByName(extra)
+
+    inc = str(tmp_path / "inc")
+    build_persisted_index(spark, base, inc, **KW)
+    man1 = Manifest(inc)
+    run1 = {u: v["run_id"] for u, v in man1.data["units"].items()}
+
+    man2 = build_persisted_index(spark, union, inc, **KW)
+    run2 = {u: v["run_id"] for u, v in man2.data["units"].items()}
+    # 64 docs / 16 per shard = shards 0..3 (groups 0..3); appended docs
+    # 64..79 land in shard 4 -> group 0. Only group 0 may re-encode.
+    assert run2["postings/group=0"] != run1["postings/group=0"]
+    for g in (1, 2, 3):
+        u = f"postings/group={g}"
+        assert run2[u] == run1[u], f"{u} was rebuilt despite unchanged shards"
+    # global side tables must rebuild (idf/stats change with N)
+    assert run2["idf"] != run1["idf"]
+
+    full = str(tmp_path / "full")
+    build_persisted_index(spark, union, full, **KW)
+    assert _postings_content(spark, inc) == _postings_content(spark, full)
+    for d in (inc, full):
+        idx, postings, shard_meta, stats = load_index(spark, d)
+        wand = make_wand_topk(idx, postings, shard_meta, block_span=stats["block_span"])
+        got = [(r["rank"], r["doc_id"], r["score"]) for r in wand("table merge", 10).collect()]
+        if d == inc:
+            first = got
+        else:
+            assert got == first  # incremental == full rebuild, bit-exact
 
 
 def test_loaded_index_rank_identity(spark, tmp_path):
