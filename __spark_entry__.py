@@ -1614,6 +1614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          end-to-end over persisted state)
       * spell_correct                 -> spell_corrected_search (F16
                                          end-to-end)
+      * multimodal_meta (stub decode) -> multimodal_meta_real (REAL
+                                         PNG/WAV container decode; the
+                                         stub path stays covered via
+                                         multimodal_frame_sample)
 
     The 12 gates the r02 driver window missed lead the dict; every cut
     gate's callable remains tested in tests/ (see SURVEY.md §8)."""

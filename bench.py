@@ -226,6 +226,30 @@ def main() -> None:
             .collect()
         ),
     )
+    # persisted-ANN query latency: index build is UNTIMED (one-time
+    # cost); the timed region is the pruned-scan query path — what a
+    # 100 TB deployment pays per query
+    import tempfile
+
+    srp_dir = tempfile.mkdtemp(prefix="bench_srp_")
+    SIM.persist_srp_index(emb.filter("vec_id <> 0"), 64, srp_dir, bits=8)
+    SIM.srp_lsh_topk_persisted(spark, srp_dir, qv, 3).collect()  # warm shape
+    bench(
+        "ann_srp_persisted_query",
+        lambda: SIM.srp_lsh_topk_persisted(
+            spark, srp_dir, qv, 10, probe_hamming=1
+        ).collect(),
+    )
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    _cents = [
+        [round(x, 6) for x in c]
+        for c in SIM.ivf_train_centroids(emb, 16, 64, iters=1)
+    ]
+    SIM.persist_ivf_index(emb.filter("vec_id <> 0"), _cents, ivf_dir)
+    bench(
+        "ann_ivf_persisted_query",
+        lambda: SIM.ivf_topk_persisted(spark, ivf_dir, qv, 10, nprobe=4).collect(),
+    )
     bench("text_quality", lambda: TS.quality_scores(docs, "text", "doc_id").count())
     bench(
         "text_fingerprint", lambda: TS.doc_fingerprints(docs, "text", "doc_id").count()
