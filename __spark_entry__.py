@@ -864,6 +864,38 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s_long.unionByName(p_long)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scrub over text with deterministically PLANTED
+    patterns: the fixture corpus contains no natural emails/IPs/secrets
+    (verified), so both engines append ' contact doc<id>@example.com at
+    10.0.<id%256>.7 token <md5(text)>' via the IDENTICAL expression and
+    then scrub — the gate hash-checks per-pattern counts AND the md5 of
+    the redacted text, i.e. cross-engine regex replace semantics
+    byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.scrub import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 token "),
+        F.md5(F.col("text")),
+    )
+    out = pii_scrub(docs.select("doc_id", aug.alias("text")), "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+        "n_email",
+        "n_ipv4",
+        "n_hex_secret",
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs vs a deterministic
     'benchmark' subset (doc_id % 37 == 0 — stands in for an eval suite),
@@ -1674,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_combine": q_score_combine,
         "results_by_source": q_results_by_source,
         "phrase_citations": q_phrase_citations,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2535,6 +2568,17 @@ JOIN ({oracles["text_repetition"]}) e USING (doc_id)
         for c in p_cols
     ]
     oracles["corpus_profile"] = " UNION ALL ".join(profile_legs)
+    from local_search_engine_spark.operators.scrub import pii_scrub_sql
+
+    oracles["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id || '@example.com at 10.0.'
+              || (doc_id % 256) || '.7 token ' || md5(text) AS text
+  FROM documents)
+SELECT doc_id, md5(scrubbed) AS scrubbed_md5, n_email, n_ipv4, n_hex_secret
+FROM ({pii_scrub_sql()} FROM aug) s
+"""
     # separator-aware chunking: expected spans as a VALUES literal (see
     # _sep_chunk_spans_values), chunk text re-derived from the real table
     oracles["chunk_split_separators"] = f"""
