@@ -95,8 +95,10 @@ def connected_components(pairs, max_iter: int = 20):
     one aggregate; labels are localCheckpoint()ed per round so lineage
     stays CONSTANT across iterations (the classic iterative-algorithm
     trap). The driver-side convergence check is inherent to iteration,
-    not a per-row action. For billion-edge graphs swap in the
-    large-star/small-star contraction (same operator contract).
+    not a per-row action. For billion-edge graphs — or chain-shaped
+    components whose diameter makes propagation ruinous — use
+    connected_components_star below (same contract, O(log² n) rounds;
+    tests pin output equality).
     """
     from pyspark.sql import functions as F
 
@@ -135,6 +137,91 @@ def connected_components(pairs, max_iter: int = 20):
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def connected_components_star(pairs, max_iter: int = 50):
+    """Large-star/small-star alternation — the BILLION-EDGE scale path
+    for the same (node, cluster_id) contract as connected_components
+    (public algorithm: Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Min-label propagation needs
+    graph-DIAMETER rounds (fine for clique-like near-dup graphs, ruinous
+    for chain-shaped components); the star alternation contracts in
+    O(log² n) rounds regardless of shape, and each round touches every
+    edge only via one groupBy(min) + one join — no per-node fan-out.
+
+      large-star: every node u emits (v, m(u)) for its LARGER
+        neighbours v, m(u) = min(N(u) ∪ {u}) — hooks big nodes onto
+        local minima without creating long chains;
+      small-star: canonicalize edges (larger → smaller); every node u
+        re-points its smaller neighbours (and itself) at its minimum
+        neighbour — flattens partial trees into stars.
+
+    Fixed point: each component is one star centred on its minimum id
+    (= the same cluster_id rule as connected_components; tests assert
+    output equality on chains, cliques, and the fixture near-dup graph).
+    Each round localCheckpoint()s so lineage stays constant, and
+    convergence (edge set unchanged) raises past max_iter rather than
+    silently truncating."""
+    from pyspark.sql import functions as F
+
+    E = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        E.select(F.col("u").alias("node"))
+        .union(E.select(F.col("v").alias("node")))
+        .distinct()
+    )
+
+    def large_star(e):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e):
+        canon = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = canon.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (
+            canon.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_e = m.select("u", F.col("m").alias("v"))
+        return (
+            nbr.union(self_e).filter(F.col("u") != F.col("v")).distinct()
+        )
+
+    for _ in range(max_iter):
+        e2 = large_star(E).localCheckpoint()
+        e3 = small_star(e2).localCheckpoint()
+        if e3.exceptAll(E).count() == 0 and E.exceptAll(e3).count() == 0:
+            E = e3
+            break
+        E = e3
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    labels = E.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots = all_nodes.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    return labels.union(roots)
 
 
 def doc_shingle_sets(docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3):

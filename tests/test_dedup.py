@@ -140,6 +140,56 @@ def test_connected_components_chain_and_clique(spark):
     assert got[20] == 20 and got[21] == 20
 
 
+def test_connected_components_star_equals_propagation(spark):
+    """The large-star/small-star scale path produces the identical
+    (node, cluster_id) labelling as min-label propagation on every graph
+    shape: a long chain (the propagation worst case), a clique, an
+    isolated pair, a star, and a pseudo-random gnp-ish graph."""
+    import random
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12),
+         (10, 12), (20, 21)],
+        [(i, j) for i in range(5) for j in range(i + 1, 5)],  # K5
+        [(0, k) for k in range(1, 8)],                         # star
+        [(i, i + 1) for i in range(40)],                       # 41-chain
+    ]
+    rng = random.Random(7)
+    cases.append(
+        list({(rng.randrange(60), rng.randrange(60)) for _ in range(90)})
+    )
+    for pairs_py in cases:
+        pairs_py = [(a, b) for a, b in pairs_py if a != b]
+        pairs = spark.createDataFrame(pairs_py, "a long, b long")
+        prop = {
+            r["node"]: r["cluster_id"]
+            for r in D.connected_components(pairs, max_iter=60).collect()
+        }
+        star = {
+            r["node"]: r["cluster_id"]
+            for r in D.connected_components_star(pairs).collect()
+        }
+        assert star == prop, pairs_py
+
+
+def test_connected_components_star_converges_fast_on_chain(spark):
+    """On a 41-node chain, propagation needs ~40 rounds (diameter) while
+    the star alternation converges within its O(log^2 n) budget — pin
+    that a tight round cap suffices where propagation's would raise."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError):
+        D.connected_components(chain, max_iter=5)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components_star(chain, max_iter=8).collect()
+    }
+    assert got == {n: 0 for n in range(41)}
+
+
 def test_connected_components_raises_on_iteration_cap(spark):
     import pytest
 
