@@ -310,6 +310,66 @@ def persist_ivf_index(
         json.dump(centroids, f)
 
 
+def append_ivf_index(
+    index_dir: str,
+    new_embeddings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incrementally add vectors to a persisted IVF inverted file:
+    assign the NEW batch against the SAVED centroids (no retraining, no
+    touch of existing data) and parquet-append into the
+    cluster-partitioned layout — per-batch cost is O(batch), and
+    queries keep pruning whole cluster directories. Caller contract:
+    ids are new (same as the postings append path). Centroids drift as
+    the corpus grows — standard IVF maintenance is a periodic retrain +
+    rebalance (a fresh persist_ivf_index), which this layout makes a
+    straight rewrite; recall vs the exact path is observable via the
+    ann_recall machinery either way."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        centroids = json.load(f)
+    v = new_embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = v.withColumn("cluster", _ivf_assign_expr(centroids))
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+
+
+def append_srp_index(
+    index_dir: str,
+    new_embeddings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incrementally add vectors to a persisted SRP inverted file: the
+    hyperplanes are a pure function of (dim, bits) from meta.json, so
+    appended vectors land in exactly the buckets a full rebuild would
+    give them — unlike IVF there is no drift; the appended index is
+    IDENTICAL to a from-scratch persist over the union (test-pinned)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    planes = srp_hyperplanes(meta["dim"], meta["bits"])
+    v = new_embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    withb = v.withColumn("bucket", _srp_bucket_expr(planes))
+    withb.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+
+
 def ivf_topk_persisted(spark, index_dir: str, query_vec, k: int, nprobe: int = 4):
     """IVF-flat top-k over a persisted inverted file: load centroids,
     pick nprobe lists driver-side, scan ONLY those cluster directories

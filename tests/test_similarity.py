@@ -172,6 +172,43 @@ def test_ivf_hash_seeding_spreads_and_keeps_recall(spark):
     emb.unpersist()
 
 
+def test_persisted_ann_incremental_append(spark, tmp_path):
+    """Appending a batch of new vectors to a persisted SRP/IVF index
+    gives query results identical to persisting the full set at once —
+    SRP bucketing and IVF assignment are pure functions of the saved
+    meta/centroids, so the appended layout is a strict superset write
+    with no global invalidation (the ANN mirror of the idf-free
+    postings append)."""
+    emb = _emb(spark).cache()
+    q = _qvec(spark)
+    base = emb.filter("vec_id <> 0 AND vec_id % 5 <> 3")
+    extra = emb.filter("vec_id <> 0 AND vec_id % 5 = 3")
+
+    srp_inc = str(tmp_path / "srp_inc")
+    SIM.persist_srp_index(base, 64, srp_inc, bits=4)
+    SIM.append_srp_index(srp_inc, extra)
+    srp_full = str(tmp_path / "srp_full")
+    SIM.persist_srp_index(emb.filter("vec_id <> 0"), 64, srp_full, bits=4)
+    for r in (0, 1):
+        a = SIM.srp_lsh_topk_persisted(spark, srp_inc, q, 10, probe_hamming=r)
+        b = SIM.srp_lsh_topk_persisted(spark, srp_full, q, 10, probe_hamming=r)
+        assert [tuple(x) for x in a.collect()] == [tuple(x) for x in b.collect()]
+
+    cents = [
+        [round(x, 6) for x in c] for c in SIM.ivf_train_centroids(emb, 16, 64)
+    ]
+    ivf_inc = str(tmp_path / "ivf_inc")
+    SIM.persist_ivf_index(base, cents, ivf_inc)
+    SIM.append_ivf_index(ivf_inc, extra)
+    ivf_full = str(tmp_path / "ivf_full")
+    SIM.persist_ivf_index(emb.filter("vec_id <> 0"), cents, ivf_full)
+    for p in (2, 4):
+        a = SIM.ivf_topk_persisted(spark, ivf_inc, q, 10, nprobe=p)
+        b = SIM.ivf_topk_persisted(spark, ivf_full, q, 10, nprobe=p)
+        assert [tuple(x) for x in a.collect()] == [tuple(x) for x in b.collect()]
+    emb.unpersist()
+
+
 def test_ivf_empty_cluster_keeps_seed(spark):
     """Training with more centroids than distinct vectors must not
     divide by zero — empty clusters keep their previous centroid."""
