@@ -32,6 +32,15 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert got[6]["n_hex_secret"] == 0  # 32-char floor
 
 
+def test_pii_scrub_zero_shuffle(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    plan = (
+        pii_scrub(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_pii_scrub_duckdb_twin_matches(spark):
     """The SQL twin produces byte-identical scrubbed text and counts on
     every fixture row — cross-engine regex semantics pinned."""
