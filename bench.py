@@ -250,6 +250,23 @@ def main() -> None:
         "ann_ivf_persisted_query",
         lambda: SIM.ivf_topk_persisted(spark, ivf_dir, qv, 10, nprobe=4).collect(),
     )
+    # trigram-indexed exact substring search: index build untimed (the
+    # one-time cost), timed region = bucket-pruned AND-count + verify
+    from local_search_engine_spark.operators.trigram import (
+        build_trigram_index,
+        trigram_search,
+    )
+
+    tri_dir = tempfile.mkdtemp(prefix="bench_tri_")
+    build_trigram_index(docs, tri_dir, text_col="text", id_col="doc_id")
+    tri_index = spark.read.parquet(tri_dir)
+    trigram_search(docs, "warm", index=tri_index, text_col="text").count()
+    bench(
+        "trigram_search",
+        lambda: trigram_search(
+            docs, "merge join", index=tri_index, text_col="text"
+        ).count(),
+    )
     bench("text_quality", lambda: TS.quality_scores(docs, "text", "doc_id").count())
     bench(
         "text_fingerprint", lambda: TS.doc_fingerprints(docs, "text", "doc_id").count()
