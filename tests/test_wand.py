@@ -78,3 +78,39 @@ def test_batch_query_set_matches_per_query(compressed):
     for qid, text, k in qs:
         want = [(r.rank, r.doc_id, r.score) for r in wand(text, k, prune=True).collect()]
         assert sorted(got.get(qid, [])) == sorted(want), text
+
+
+def test_derived_bound_retains_pruning_power(spark):
+    """The idf-free (block_max_tf, block_min_dl)-derived upper bound
+    must actually PRUNE in the positive-idf regime, not merely stay
+    correct: for the rarest positive-idf term in the documents fixture,
+    at least half its blocks bound below the brute-force k-th score
+    (skippable). Hot terms on tiny-vocab fixtures have NEGATIVE floored
+    idf, where the 0-clamped bound exceeds any negative theta and
+    pruning cannot engage — equally true of the old baked-score bound,
+    so that regime proves nothing either way."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.build import build_index_from
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index_from(docs, text_col="text")
+    rare = idx.idf.filter("idf > 0").orderBy("df").first()
+    assert rare is not None, "fixture lost its positive-idf rare term"
+    term, idf = rare["term"], float(rare["idf"])
+    postings, _ = build_postings(idx, docs_per_shard=200, block_span=16)
+    blocks = postings.filter(F.col("term") == term).select(
+        "block_max_tf", "block_min_dl"
+    ).collect()
+    assert len(blocks) >= 8, (term, len(blocks))
+    theta = [r["score"] for r in brute_topk(idx, term, 3).collect()][-1]
+    k1, b, avgdl = idx.params.k1, idx.params.b, idx.avgdl
+    ubs = [
+        max(idf, 0.0)
+        * (k1 + 1.0)
+        * r["block_max_tf"]
+        / (r["block_max_tf"] + k1 * (1.0 - b + b * r["block_min_dl"] / avgdl))
+        for r in blocks
+    ]
+    skippable = sum(1 for u in ubs if u <= theta)
+    assert skippable / len(blocks) >= 0.5, (term, skippable, len(blocks), theta)
