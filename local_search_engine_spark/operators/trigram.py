@@ -103,3 +103,74 @@ def trigram_search(docs, literal: str, index=None, text_col: str = "content", id
         .filter(F.contains(F.col(text_col), F.lit(literal)))
         .select(F.col(id_col).alias("doc_id"))
     )
+
+
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _plain_literal(s: str) -> bool:
+    return bool(s) and not (_REGEX_META & set(s))
+
+
+def regex_trigram_plan(pattern: str):
+    """Conservative trigram analysis of a regex (the safe subset of the
+    public Cox algorithm): returns (kind, alternatives) where kind is
+
+      'and'  — pattern is a plain literal: docs must contain ALL its
+               trigrams (alternatives = [that literal]);
+      'or'   — pattern is a top-level alternation of plain literals,
+               each >= 3 chars: docs must satisfy at least ONE
+               alternative's trigram AND-set;
+      'scan' — anything else (metacharacters, short branches): no index
+               claim can be made conservatively; caller falls back to
+               the full verify scan. Explicit, never silently partial.
+    """
+    if _plain_literal(pattern):
+        if len(pattern) >= 3:
+            return ("and", [pattern])
+        return ("scan", [])
+    branches = pattern.split("|")
+    if len(branches) > 1 and all(
+        _plain_literal(b) and len(b) >= 3 for b in branches
+    ):
+        return ("or", branches)
+    return ("scan", [])
+
+
+def trigram_search_regex(docs, pattern: str, index=None, text_col: str = "content", id_col: str = "doc_id"):
+    """doc_ids whose content matches `pattern` (Java regex, unanchored
+    rlike semantics). The trigram index prunes when regex_trigram_plan
+    can make a conservative claim; results ALWAYS equal the full rlike
+    scan (the index only shrinks the verify set)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import h32_py
+
+    verify_pred = F.col(text_col).rlike(pattern)
+    full_scan = docs.filter(verify_pred).select(F.col(id_col).alias("doc_id"))
+    kind, alts = regex_trigram_plan(pattern)
+    if index is None or kind == "scan":
+        return full_scan
+    need_sets = [literal_query_trigrams(a) for a in alts]
+    all_need = sorted({g for s in need_sets for g in s})
+    scan = index
+    if "bucket" in index.columns:
+        buckets = sorted({h32_py(t) % TRIGRAM_N_BUCKETS for t in all_need})
+        scan = scan.filter(F.col("bucket").isin(buckets))
+    hits = scan.filter(F.col("trigram").isin(all_need))
+    cands = None
+    for s in need_sets:
+        c = (
+            hits.filter(F.col("trigram").isin(s))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("trigram").alias("_hits"))
+            .filter(F.col("_hits") == len(s))
+            .select("doc_id")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cand = cands.distinct().select(F.col("doc_id").alias("_cand_id"))
+    return (
+        docs.join(cand, docs[id_col] == cand["_cand_id"])
+        .filter(verify_pred)
+        .select(F.col(id_col).alias("doc_id"))
+    )

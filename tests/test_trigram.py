@@ -113,3 +113,44 @@ WHERE contains(content, '{lit.replace("'", "''")}') ORDER BY doc_id
         ).collect()
     )
     assert got == want == [0, 1]
+
+
+def test_regex_plan_classification():
+    from local_search_engine_spark.operators.trigram import regex_trigram_plan
+
+    assert regex_trigram_plan("merge_shard") == ("and", ["merge_shard"])
+    assert regex_trigram_plan("foo|barbaz") == ("or", ["foo", "barbaz"])
+    assert regex_trigram_plan("ab") == ("scan", [])          # too short
+    assert regex_trigram_plan("foo|x") == ("scan", [])       # short branch
+    assert regex_trigram_plan("me.ge") == ("scan", [])       # metachar
+    assert regex_trigram_plan("a(b|c)d") == ("scan", [])     # nested alt
+
+
+def test_regex_search_equals_full_rlike_scan(spark, tmp_path):
+    from local_search_engine_spark.operators.trigram import trigram_search_regex
+
+    docs = _docs(spark)
+    idx_dir = str(tmp_path / "tri")
+    build_trigram_index(docs, idx_dir)
+    index = spark.read.parquet(idx_dir)
+    patterns = [
+        "merge_shard",          # and
+        "shard|relevant",       # or of literals
+        "merge.?shard",         # metachars -> fallback scan
+        "absent_one|missing2",  # or, zero hits
+        "xx",                   # short -> fallback
+    ]
+    for pat in patterns:
+        want = sorted(
+            r["doc_id"]
+            for r in trigram_search_regex(docs, pat, index=None).collect()
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in trigram_search_regex(docs, pat, index=index).collect()
+        )
+        assert got == want, pat
+    assert sorted(
+        r["doc_id"]
+        for r in trigram_search_regex(docs, "shard|relevant", index=index).collect()
+    ) == [0, 1, 2, 3]
