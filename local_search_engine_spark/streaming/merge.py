@@ -158,8 +158,11 @@ class PersistedIndexState:
         never the live tree (stage → swap via os.replace)."""
         import shutil
 
+        from pyspark.sql import functions as F
+
         spark = self.spark
         stats = {}
+        dead = self.tombstones()
         for sub in ("tf", "docs"):
             live = os.path.join(self.dir, sub)
             if not os.path.isdir(live):
@@ -167,6 +170,10 @@ class PersistedIndexState:
             stage = os.path.join(self.dir, f"_compact_{sub}")
             shutil.rmtree(stage, ignore_errors=True)
             df = spark.read.parquet(live)
+            if dead:
+                # the rewrite is the natural purge point: tombstoned
+                # rows leave the physical layout here
+                df = df.filter(~F.col("doc_id").isin(dead))
             df.write.mode("overwrite").parquet(
                 os.path.join(stage, "batch=__base__")
             )
@@ -181,17 +188,66 @@ class PersistedIndexState:
         with open(tmp, "w") as f:
             json.dump(self._log, f, indent=1, sort_keys=True)
         os.replace(tmp, self._log_path)
+        if dead:
+            # physically purged above — clear the tombstone log (crash
+            # between the swap and this point only leaves a redundant
+            # logical filter, never resurrected rows)
+            tpath = os.path.join(self.dir, "_tombstones.json")
+            tmp = tpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump([], f)
+            os.replace(tmp, tpath)
         return stats
+
+    def delete_docs(self, doc_ids) -> int:
+        """Logical delete (the GDPR/right-to-be-forgotten path): append
+        the ids to a tombstone log. O(|delete|) — NOTHING existing is
+        rewritten; load_index() applies tombstones exactly (broadcast
+        anti-join of a user-sized id set), and the next
+        build_persisted_index re-encodes precisely the postings groups
+        whose shards contained deleted docs (their per-group content
+        fingerprints change) while untouched groups stay manifest hits.
+        Idempotent: re-deleting an id is a no-op. Returns the total
+        tombstone count."""
+        ids = sorted({int(i) for i in doc_ids})
+        path = os.path.join(self.dir, "_tombstones.json")
+        existing: list[int] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+        merged = sorted(set(existing) | set(ids))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, path)
+        return len(merged)
+
+    def tombstones(self) -> list[int]:
+        path = os.path.join(self.dir, "_tombstones.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return json.load(f)
 
     def load_index(self) -> InvertedIndex:
         """Flat-scan the accumulated deltas → full InvertedIndex. Plan
-        depth is constant in batch count; df/idf/avgdl derived once."""
+        depth is constant in batch count; df/idf/avgdl derived once.
+        Tombstoned docs are excluded EXACTLY: docs/tf filtered before
+        the stats/idf derivation, so n_docs, avgdl, df and the epsilon
+        floor all reflect the post-delete corpus — identical to a
+        from-scratch build over the surviving docs (test-pinned)."""
         from pyspark.sql import functions as F
 
         from ..operators.build import doc_freqs
 
         tf = self.spark.read.parquet(os.path.join(self.dir, "tf"))
         docs = self.spark.read.parquet(os.path.join(self.dir, "docs"))
+        dead = self.tombstones()
+        if dead:
+            # tombstone sets are user-sized; isin compiles to an
+            # in-filter pushed to the scan, no join or shuffle
+            tf = tf.filter(~F.col("doc_id").isin(dead))
+            docs = docs.filter(~F.col("doc_id").isin(dead))
         row = docs.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
         ).first()

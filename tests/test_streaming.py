@@ -150,3 +150,75 @@ def test_persisted_state_compaction(spark, tmp_path):
         for r in full.idf.select("term", "df", "idf").collect()
     }
     assert got == want
+
+
+def test_persisted_state_delete_docs(spark, tmp_path):
+    """Tombstone deletes: load_index() after delete_docs equals a
+    from-scratch build over the surviving docs (n_docs, avgdl, df, idf
+    and the epsilon floor all shift); deletes are idempotent; compact()
+    physically purges the rows and clears the tombstone log; and the
+    postings stage of a persisted build re-encodes ONLY the groups
+    whose shards contained deleted docs."""
+    import os as _os
+
+    from local_search_engine_spark.streaming.merge import PersistedIndexState
+
+    state = PersistedIndexState(spark, str(tmp_path / "state"))
+    for b in range(4):
+        state.append_batch(mkdocs(spark, b * 10, (b + 1) * 10), b, text_col="text")
+    dead = [3, 17, 18]
+    assert state.delete_docs(dead) == 3
+    assert state.delete_docs([3]) == 3  # idempotent re-delete
+
+    merged = state.load_index()
+    survivors = mkdocs(spark, 0, 40).filter(f"doc_id NOT IN ({','.join(map(str, dead))})")
+    full = build_index_from(survivors, text_col="text", cache=False)
+    assert merged.n_docs == full.n_docs == 37
+    assert abs(merged.avgdl - full.avgdl) < 1e-9
+    got = {
+        r.term: (r.df, round(r.idf, 12))
+        for r in merged.idf.select("term", "df", "idf").collect()
+    }
+    want = {
+        r.term: (r.df, round(r.idf, 12))
+        for r in full.idf.select("term", "df", "idf").collect()
+    }
+    assert got == want
+    assert merged.docs.filter(merged.docs.doc_id.isin(dead)).count() == 0
+
+    # compact physically purges + clears tombstones
+    state.compact()
+    assert state.tombstones() == []
+    raw = spark.read.parquet(_os.path.join(str(tmp_path / "state"), "docs"))
+    assert raw.filter(raw.doc_id.isin(dead)).count() == 0
+    after = {
+        r.term: (r.df, round(r.idf, 12))
+        for r in state.load_index().idf.select("term", "df", "idf").collect()
+    }
+    assert after == got
+
+
+def test_persisted_build_reencodes_only_deleted_groups(spark, tmp_path):
+    """Fingerprint-driven physical maintenance after deletes: rebuild
+    into the same index dir over the post-delete corpus — only the
+    postings groups whose shards lost docs re-encode."""
+    from local_search_engine_spark.plans.checkpoint import (
+        Manifest,
+        build_persisted_index,
+    )
+
+    kw = dict(docs_per_shard=16, block_span=8, n_buckets=8, n_groups=4)
+    corpus = mkdocs(spark, 0, 64)
+    d = str(tmp_path / "idx")
+    build_persisted_index(spark, corpus, d, pre_identified=True, text_col="text", **kw)
+    run1 = {u: v["run_id"] for u, v in Manifest(d).data["units"].items()}
+    # delete one doc from shard 1 (doc 17) -> group 1 only
+    survivors = corpus.filter("doc_id <> 17")
+    man2 = build_persisted_index(
+        spark, survivors, d, pre_identified=True, text_col="text", **kw
+    )
+    run2 = {u: v["run_id"] for u, v in man2.data["units"].items()}
+    assert run2["postings/group=1"] != run1["postings/group=1"]
+    for g in (0, 2, 3):
+        u = f"postings/group={g}"
+        assert run2[u] == run1[u], f"{u} re-encoded without a content change"
