@@ -313,6 +313,27 @@ def main() -> None:
             0
         ].collect(),
     )
+    from local_search_engine_spark.operators.packing import pack_sequences
+    from local_search_engine_spark.operators.symbols import extract_symbols
+
+    # warm the two new shapes once (tiny), then time full-corpus passes
+    pack_sequences(
+        mini_tok := docs.limit(200).selectExpr(
+            "doc_id", "length(text) as n_tokens"
+        ),
+        budget=4096,
+    ).count()
+    extract_symbols(docs.limit(200), text_col="text", lang_col="lang").count()
+    bench(
+        "pack_sequences",
+        lambda: pack_sequences(
+            docs.selectExpr("doc_id", "length(text) as n_tokens"), budget=4096
+        ).count(),
+    )
+    bench(
+        "symbols_extract",
+        lambda: extract_symbols(docs, text_col="text", lang_col="lang").count(),
+    )
     from local_search_engine_spark.operators.spell import correct_tokens
 
     bench(
