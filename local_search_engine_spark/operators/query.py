@@ -165,3 +165,23 @@ def run_query_set(index: InvertedIndex, queries: list[tuple[int, str, int]]):
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def suggest_terms(index, prefix: str, k: int = 10):
+    """Query autocomplete: top-k vocabulary terms starting with `prefix`
+    (case-folded through the engine tokenizer's lowercase rule), ranked
+    by document frequency desc, term asc. The StartsWith predicate
+    pushes into the idf scan — on a persisted index whose idf table is
+    sorted by term, Parquet min/max row-group stats prune most of the
+    vocabulary before any row is read."""
+    from pyspark.sql import functions as F
+
+    p = (prefix or "").lower()
+    if not p:
+        return index.idf.select("term", "df").limit(0)
+    return (
+        index.idf.filter(F.col("term").startswith(p))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select("term", "df")
+    )

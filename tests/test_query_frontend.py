@@ -127,3 +127,27 @@ def test_weights_table_exact_when_confident():
     a = analyze_query("what is the meaning of mvcc")
     if a.confidence >= 0.5:
         assert a.weights == {"dense": 0.2, "sparse": 0.8}
+
+
+def test_suggest_terms_autocomplete(spark):
+    from local_search_engine_spark.operators.build import build_index_from
+    from local_search_engine_spark.operators.query import suggest_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "merge merges merged shard"),
+            (1, "merge mesh metadata"),
+            (2, "merge zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index_from(docs, text_col="text", cache=False)
+    got = [(r["term"], r["df"]) for r in suggest_terms(idx, "me", 10).collect()]
+    assert got[0] == ("merge", 3)  # highest df first
+    assert all(t.startswith("me") for t, _ in got)
+    assert {t for t, _ in got} == {"merge", "merges", "merged", "mesh", "metadata"}
+    assert [r["term"] for r in suggest_terms(idx, "MERG", 10).collect()] == [
+        "merge", "merged", "merges",
+    ]
+    assert suggest_terms(idx, "", 5).count() == 0
+    assert suggest_terms(idx, "zzz", 5).count() == 0

@@ -47,3 +47,42 @@ def test_expr_and_udf_match_python(spark):
     for row in got:
         assert list(row["t_expr"]) == want[row["path"]]
         assert list(row["t_udf"]) == want[row["path"]]
+
+
+def test_code_tokenizer_py_expr_identical(spark):
+    """The opt-in code analyzer's py/expr twins agree token-for-token
+    on identifier-heavy fixtures (camelCase, UPPER runs, snake_case,
+    digit boundaries, preserve-list shorts, unicode punctuation)."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.functions.tokenize import (
+        tokenize_code_expr,
+        tokenize_code_py,
+    )
+
+    texts = [
+        "def mergeShards2Fast(a_b, HTTPServer): return AI",
+        "snake_case_name camelCase XMLHttpRequest v2Parser",
+        "plain words only",
+        "",
+        "__dunder__ _private x y",
+        "getIPAddress os.path.join DB2Admin",
+        "ümlaut-split mixedÜmlaut",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokenize_code_expr(F.col("t")).alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize_code_py(t), (i, t, got[i], tokenize_code_py(t))
+
+
+def test_code_tokenizer_finds_subtokens():
+    from local_search_engine_spark.functions.tokenize import tokenize_code_py
+
+    toks = tokenize_code_py("class ShardWriter:\n  def mergeShards(self): pass")
+    assert "mergeshards" in toks and "merge" in toks and "shards" in toks
+    assert "shardwriter" in toks and "shard" in toks and "writer" in toks
+    # plain words are NOT double-counted
+    assert tokenize_code_py("merge merge").count("merge") == 2
