@@ -149,12 +149,28 @@ def with_doc_ids(corpus, partitions: int | None = None):
     )
 
 
-def tokenized_docs(docs, text_col: str = "content", use_pandas_udf: bool = False):
+def tokenized_docs(
+    docs,
+    text_col: str = "content",
+    use_pandas_udf: bool = False,
+    tokenizer=None,
+):
     """Add tokens + doc_len. Default path is pure built-in expressions
-    (JVM codegen); the pandas-UDF path is semantically identical."""
+    (JVM codegen); the pandas-UDF path is semantically identical.
+
+    tokenizer: optional Column→Column analyzer override (e.g.
+    functions.tokenize.tokenize_code_expr for camelCase/snake_case
+    subtoken indexing). The caller owns query-side consistency: score
+    the index built with analyzer X using X's python twin (the pinned
+    default tokenizer remains the oracle-gated contract)."""
     from pyspark.sql import functions as F
 
-    tok = tokenize_udf()(F.col(text_col)) if use_pandas_udf else tokenize_expr(F.col(text_col))
+    if tokenizer is not None:
+        tok = tokenizer(F.col(text_col))
+    elif use_pandas_udf:
+        tok = tokenize_udf()(F.col(text_col))
+    else:
+        tok = tokenize_expr(F.col(text_col))
     return docs.withColumn("tokens", tok).withColumn("doc_len", F.size("tokens"))
 
 
@@ -289,6 +305,7 @@ def build_index_from(
     use_pandas_udf: bool = False,
     cache: bool = True,
     tf_impl: str = "auto",
+    tokenizer=None,
 ) -> InvertedIndex:
     """Index build over ANY table that already carries a unique doc_id
     bigint column + a text column (e.g. the testdata `documents` table).
@@ -306,7 +323,12 @@ def build_index_from(
     from pyspark.sql import functions as F
 
     params = params or BM25Params()
-    tok = tokenized_docs(docs_with_id, text_col=text_col, use_pandas_udf=use_pandas_udf)
+    tok = tokenized_docs(
+        docs_with_id,
+        text_col=text_col,
+        use_pandas_udf=use_pandas_udf,
+        tokenizer=tokenizer,
+    )
     tf = term_frequencies(tok, impl=tf_impl)
     if cache:
         tf = tf.cache()

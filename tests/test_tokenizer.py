@@ -86,3 +86,38 @@ def test_code_tokenizer_finds_subtokens():
     assert "shardwriter" in toks and "shard" in toks and "writer" in toks
     # plain words are NOT double-counted
     assert tokenize_code_py("merge merge").count("merge") == 2
+
+
+def test_code_analyzer_end_to_end_search(spark):
+    """Index built with the code analyzer: query 'merge' (tokenized with
+    the SAME analyzer's python twin) finds the camelCase-only doc that
+    the default analyzer cannot see."""
+    from collections import Counter
+
+    from local_search_engine_spark.functions.tokenize import (
+        tokenize_code_expr,
+        tokenize_code_py,
+    )
+    from local_search_engine_spark.operators.build import build_index_from
+    from local_search_engine_spark.operators.query import score_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "class ShardMerger:\n  def mergeShards(self): pass"),
+            (1, "unrelated zebra module"),
+            (2, "plain merge function here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def hits(tokenizer, tokenize_query):
+        idx = build_index_from(
+            docs, text_col="text", cache=False, tokenizer=tokenizer
+        )
+        counts = dict(sorted(Counter(tokenize_query("merge")).items()))
+        return {r["doc_id"] for r in score_terms(idx, counts).collect()}
+
+    from local_search_engine_spark.functions.tokenize import tokenize_py
+
+    assert hits(None, tokenize_py) == {2}
+    assert hits(tokenize_code_expr, tokenize_code_py) == {0, 2}
