@@ -197,3 +197,32 @@ def test_term_frequencies_inrow_equals_shuffle_and_zero_exchange(spark):
     assert b.where(F.col("term").isNull()).count() == 0
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+@pytest.mark.usefixtures("spark")
+def test_code_tokenizer_twins_property(spark):
+    """Property: tokenize_code_py == tokenize_code_expr on random
+    identifier-ish text (hypothesis strategies over case transitions,
+    underscores, digits, punctuation, unicode)."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.functions.tokenize import (
+        tokenize_code_expr,
+        tokenize_code_py,
+    )
+
+    code_texts = st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abXYZ_09 .(:\nüA")), max_size=24
+        ),
+        max_size=12,
+    ).map(" ".join)
+
+    @given(code_texts)
+    @settings(max_examples=60, deadline=None)
+    def check(text):
+        df = spark.createDataFrame([(text,)], "t string")
+        got = df.select(tokenize_code_expr(F.col("t")).alias("x")).first()["x"]
+        assert got == tokenize_code_py(text), repr(text)
+
+    check()
