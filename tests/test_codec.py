@@ -2,7 +2,6 @@
 hypothesis property tests when available (SURVEY.md §5.2 item 3)."""
 
 import numpy as np
-import pytest
 
 from local_search_engine_spark.functions.codec import (
     decode_block,

@@ -4,7 +4,7 @@ on empty corpora, single documents, or token-less documents (SURVEY.md
 
 from local_search_engine_spark.operators.build import build_index_from
 from local_search_engine_spark.operators.postings import build_postings
-from local_search_engine_spark.operators.query import score_all, topk
+from local_search_engine_spark.operators.query import topk
 
 SCHEMA = "doc_id long, text string"
 

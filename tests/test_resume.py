@@ -7,7 +7,6 @@ and that queries over the loaded index stay rank-identical to the oracle.
 import json
 import os
 
-import pytest
 
 from local_search_engine_spark.operators.wand import make_wand_topk
 from local_search_engine_spark.plans.checkpoint import (

@@ -6,7 +6,6 @@ the streaming re-expression of the reference's incremental add
 
 import os
 
-import pytest
 
 from local_search_engine_spark.operators.build import build_index_from
 from local_search_engine_spark.streaming.merge import stream_ingest
