@@ -137,6 +137,27 @@ def with_doc_ids(corpus, partitions: int | None = None):
         .withColumn("doc_id", off[F.col("_pid")] + F.col("_local"))
         .drop("_pid", "_local")
     )
+    # Runtime invariant (r03 ADVICE): the low-33-bit in-partition counter
+    # assumes < 2^33 rows per partition and deterministic recompute of any
+    # evicted cache partition. Verify the finished enumeration outright —
+    # one agg job over the slim cached key relation (never the content) —
+    # so a violated assumption fails loudly instead of silently producing
+    # duplicate/shifted ids.
+    chk = ids.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+    ).first()
+    if not (
+        chk["n"] == chk["nd"] == acc
+        and (acc == 0 or (chk["mn"] == 0 and chk["mx"] == acc - 1))
+    ):
+        raise RuntimeError(
+            f"doc-id enumeration invariant violated: {chk.asDict()}, expected "
+            f"dense [0, {acc}) — a partition likely exceeded 2^33 rows or a "
+            "cache recompute changed the layout"
+        )
     # acc (total docs) is already known exactly — broadcast the id table
     # outright when it is small so the CONTENT never shuffles: tokenize
     # then runs straight off the (column-pruned) source scan at full

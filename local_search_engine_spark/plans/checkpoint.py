@@ -209,7 +209,17 @@ def build_persisted_index(
     # idf / stats / shard_meta — stay keyed on the global fingerprint:
     # idf and stats genuinely change with every append; on Iceberg these
     # become MERGE-maintained table updates instead of rewrites.)
-    layout = f"dps={docs_per_shard};span={span};nb={n_buckets};ng={n_groups}"
+    # "analyzer=default" is part of the fingerprint key ON PURPOSE even
+    # though build_persisted_index only builds with the pinned default
+    # tokenizer today: if a tokenizer option (already supported by
+    # build_index_from) is ever threaded through here, the identifier
+    # must change with it and every group fingerprint auto-invalidates —
+    # without this, switching analyzers would silently reuse stale
+    # postings groups (r03 ADVICE).
+    layout = (
+        f"dps={docs_per_shard};span={span};nb={n_buckets};ng={n_groups};"
+        "analyzer=default"
+    )
     gfp: dict[int, str] = {}
     for r in (
         idx.docs.select(
