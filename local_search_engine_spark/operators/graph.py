@@ -64,13 +64,42 @@ def extract_imports(docs, text_col: str = "content", lang_col: str = "lang", id_
     )
 
 
-def pagerank(edges, damping: float = 0.85, max_iter: int = 30, tol: float = 1e-6):
+def pagerank(
+    edges,
+    damping: float = 0.85,
+    max_iter: int = 30,
+    tol: float = 1e-6,
+    exact_iters: int | None = None,
+):
     """(node, rank) over a directed (src, dst) edge relation; ranks sum
     to 1. Power iteration: rank' = (1−d)/N + d·(Σ in-contribs +
     dangling_mass/N); converges when max |Δrank| < tol (raises past
-    max_iter — never a silently unconverged result). Each round: one
-    join edges⋈ranks on src (out-degree pre-joined once), one
-    groupBy(dst).sum, one scalar dangling aggregate."""
+    max_iter — never a silently unconverged result).
+
+    ONE Spark action per round: new ranks are built from the previous
+    barrier + a DRIVER-SCALAR dangling mass, lazily localCheckpointed,
+    and a single post-checkpoint aggregate — materializing the
+    checkpoint as it runs — returns BOTH the convergence Δ and the next
+    round's dangling mass (Σ rank over out-degree-0 nodes of the NEW
+    ranks). The r03 shape ran three actions per round.
+
+    INVARIANT (load-bearing, do not "simplify" away): the plan feeding
+    each round's checkpoint references the previous checkpoint barrier
+    EXACTLY ONCE (in the contribs join). Spark's localCheckpoint
+    propagates origin sizeInBytes statistics through the barrier, and
+    Catalyst's join-stats visitor multiplies child sizes — so k
+    references per round compound the stat value like S^k per round.
+    An earlier one-action shape that crossJoined an in-plan dangling
+    aggregate and carried the old rank through the barrier referenced
+    it 3×/round: stats digits tripled per round, planning went
+    super-exponential past ~15 rounds and Spark finally threw
+    "BigInteger would overflow supported range" (~round 25). With one
+    reference the stat grows by a constant factor per round — flat
+    planning cost at 200+ rounds (measured both ways).
+
+    exact_iters: run exactly that many rounds with no convergence test
+    (same one-action rounds) — the reproducible-fixed-point mode the
+    driver gate's unrolled-SQL oracle matches against."""
     from pyspark.sql import functions as F
 
     e = edges.select(F.col("src"), F.col("dst")).distinct()
@@ -83,21 +112,27 @@ def pagerank(edges, damping: float = 0.85, max_iter: int = 30, tol: float = 1e-6
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     e_deg = e.join(out_deg, "src").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
-    for _ in range(max_iter):
+    rounds = max_iter if exact_iters is None else exact_iters
+    # initial dangling mass: one pre-loop aggregate over the uniform
+    # ranks (a float SUM, mirroring the oracle's per-round formulation
+    # bit for bit rather than (n_dangling/n)·(1/n) driver arithmetic)
+    dang = (
+        ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .first()[0]
+    )
+    delta = None
+    no_out = out_deg.select(F.col("src").alias("node"), F.lit(1).alias("_has"))
+    for _ in range(rounds):
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
-        )
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
         )
         new_ranks = (
             nodes.join(contribs, "node", "left")
@@ -106,17 +141,37 @@ def pagerank(edges, damping: float = 0.85, max_iter: int = 30, tol: float = 1e-6
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.lit(dang) / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "node")
-            .agg(F.max(F.abs(F.col("rank") - F.col("old"))))
-            .first()[0]
-        )
+        # the round's ONE action: materializes the lazy checkpoint and
+        # returns the next round's dangling mass — plus, in convergence
+        # mode, the Δ against the previous barrier in the same aggregate
+        dang_col = F.coalesce(
+            F.sum(F.when(F.col("_has").isNull(), F.col("rank"))), F.lit(0.0)
+        ).alias("_dang")
+        if exact_iters is None:
+            row = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("_old")), "node"
+                )
+                .join(no_out, "node", "left")
+                .agg(F.max(F.abs(F.col("rank") - F.col("_old"))).alias("_delta"), dang_col)
+                .first()
+            )
+            delta, dang = row["_delta"], row["_dang"]
+        else:
+            dang = (
+                new_ranks.join(no_out, "node", "left").agg(dang_col).first()["_dang"]
+            )
         ranks = new_ranks
-        if delta < tol:
+        if exact_iters is None and delta < tol:
             return ranks
+    if exact_iters is not None:
+        return ranks
     raise RuntimeError(f"pagerank did not converge in {max_iter} rounds (Δ={delta})")

@@ -68,3 +68,44 @@ def test_extract_imports_per_language(spark):
     assert (0, "fake") not in got  # string literal, not a statement head
     assert (1, "./shard") in got and (1, "fs") in got
     assert (2, "std::collections") in got
+
+
+def _jobs_during(spark, group: str, fn):
+    """Run fn() under a job group; return the job ids it fired. AQE is
+    toggled OFF around fn so job counts reflect ACTIONS (AQE submits one
+    job per adaptive query stage, which would make the count a moving
+    target)."""
+    sc = spark.sparkContext
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "action probe")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    return list(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_pagerank_exact_iters_matches_python_twin(spark):
+    e = spark.createDataFrame(GRAPH, "src long, dst long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(e, exact_iters=200).collect()
+    }
+    want = _pagerank_py(GRAPH, 4, iters=200)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_pagerank_one_job_per_iteration(spark):
+    """r04: each round is ONE action — the combined (Δ, dangling-mass)
+    aggregate whose .first() also materializes the round's lazy
+    localCheckpoint — and with AQE off that action is exactly ONE job.
+    The r03 shape ran three actions per round. (The round's plan must
+    also reference the previous checkpoint barrier exactly once — see
+    the stats-compounding invariant in pagerank's docstring — which
+    this probe would catch as runaway per-round wall time.)"""
+    e = spark.createDataFrame(GRAPH, "src long, dst long")
+    j3 = _jobs_during(spark, "pr-iter-3", lambda: pagerank(e, exact_iters=3))
+    j6 = _jobs_during(spark, "pr-iter-6", lambda: pagerank(e, exact_iters=6))
+    assert len(j6) - len(j3) == 3 * 1
