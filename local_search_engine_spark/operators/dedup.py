@@ -139,7 +139,7 @@ def connected_components(pairs, max_iter: int = 20):
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-def connected_components_star(pairs, max_iter: int = 50):
+def connected_components_star(pairs, max_iter: int = 50, metrics: dict | None = None):
     """Large-star/small-star alternation — the BILLION-EDGE scale path
     for the same (node, cluster_id) contract as connected_components
     (public algorithm: Kiveris et al., "Connected Components in
@@ -206,13 +206,27 @@ def connected_components_star(pairs, max_iter: int = 50):
             nbr.union(self_e).filter(F.col("u") != F.col("v")).distinct()
         )
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         e2 = large_star(E).localCheckpoint()
         e3 = small_star(e2).localCheckpoint()
-        if e3.exceptAll(E).count() == 0 and E.exceptAll(e3).count() == 0:
-            E = e3
-            break
+        # convergence = symmetric difference empty, measured by ONE job:
+        # both sides are distinct edge sets, so a full-outer join on
+        # (u, v) with a null-side filter counts |e3 Δ E| directly (the
+        # r03 shape ran two exceptAll().count() actions per round — two
+        # full shuffles of the edge set each time)
+        sym_diff = (
+            e3.withColumn("_r", F.lit(1))
+            .join(E.withColumn("_l", F.lit(1)), ["u", "v"], "full_outer")
+            .filter(F.col("_r").isNull() | F.col("_l").isNull())
+            .count()
+        )
         E = e3
+        if sym_diff == 0:
+            if metrics is not None:
+                metrics["rounds"] = rounds
+            break
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"

@@ -324,3 +324,22 @@ def test_benchmark_contamination_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_star_three_jobs_per_round(spark):
+    """r04: convergence is ONE symmetric-difference job (full-outer join
+    null count) instead of two exceptAll().count() actions — each round
+    is exactly 3 jobs: large-star checkpoint, small-star checkpoint, the
+    symdiff count. Setup adds the single edge-set checkpoint job. AQE is
+    toggled off inside the probe so job counts reflect actions."""
+    from tests.test_graph import _jobs_during
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    m: dict = {}
+    jobs = _jobs_during(
+        spark, "cc-star-jobs", lambda: D.connected_components_star(chain, metrics=m)
+    )
+    assert m["rounds"] >= 2  # a chain actually iterates
+    assert len(jobs) == 1 + 3 * m["rounds"]
