@@ -272,6 +272,156 @@ _MM_HEIGHT = "(1 + ('0x' || substr(md5(text), 3, 2))::int % 64)"
 _MM_FRAMES = "(1 + ('0x' || substr(md5(text), 5, 2))::int % 16)"
 _MM_TYPE = "(['image', 'audio', 'video'])[(doc_id % 3)::int + 1]"
 
+
+def _sym_oracle_sql() -> str:
+    """code_symbols oracle: replant the per-language definition lines
+    byte-identically (chr(10)-concat twin of _sym_planted), then
+    re-extract with the SAME LANG_PATTERNS regexes in DuckDB (patterns
+    are RE2 ∩ Java-portable by design — symbols.py:24-26)."""
+    from local_search_engine_spark.operators.symbols import LANG_PATTERNS
+
+    nl = "chr(10)"
+    a = f"(doc_id % {SYM_FN_MOD})"
+    b = f"(doc_id % {SYM_CLS_MOD})"
+    planted = {
+        "python": f"{nl} || 'def fn_' || {a} || '(x):' || {nl} || '    pass' || "
+                  f"{nl} || 'class Cls_' || {b} || ':' || {nl} || '    pass'",
+        "javascript": f"{nl} || 'function fn_' || {a} || '(x) {{}}' || "
+                      f"{nl} || 'class Cls_' || {b} || ' {{}}' || "
+                      f"{nl} || 'const arrow_' || {a} || ' = (x) => x'",
+        "go": f"{nl} || 'func fn_' || {a} || '() {{}}' || "
+              f"{nl} || 'type Typ_' || {b} || ' struct {{}}'",
+        "java": f"{nl} || 'public class Cls_' || {b} || ' {{}}' || "
+                f"{nl} || 'interface Iface_' || {a} || ' {{}}'",
+        "rust": f"{nl} || 'fn fn_' || {a} || '() {{}}' || "
+                f"{nl} || 'pub struct Typ_' || {b} || ' {{}}'",
+    }
+    case = " ".join(f"WHEN {i} THEN {planted[lg]}" for i, lg in enumerate(SYM_LANGS))
+    legs = []
+    for i, lg in enumerate(SYM_LANGS):
+        for kind, pat in LANG_PATTERNS[lg]:
+            legs.append(
+                f"SELECT doc_id, '{kind}' AS kind, "
+                f"unnest(list_distinct(regexp_extract_all(text2, '{pat}', 1))) AS symbol "
+                f"FROM aug WHERE doc_id % 5 = {i}"
+            )
+    union = " UNION ALL ".join(legs)
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text || CASE (doc_id % 5)::int {case} END AS text2
+  FROM documents),
+raw AS ({union})
+SELECT symbol, kind, count(*)::bigint AS n_defs,
+       list_sort(list(doc_id)) AS doc_ids
+FROM raw GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    """pagerank oracle: identical planted imports, identical python
+    import regexes, then the power iteration UNROLLED as
+    PR_EXACT_ITERS chained CTEs — a fully data-dependent oracle (no
+    VALUES pinning), valid at every SF. Float ops mirror the Spark side
+    exactly (same literals via repr, same double divisions); ranks
+    rounded to 6 dp on both sides."""
+    from local_search_engine_spark.operators.graph import IMPORT_PATTERNS
+
+    p1, p2 = IMPORT_PATTERNS["python"]
+    base_num = repr(1.0 - PR_DAMPING)
+    damp = repr(PR_DAMPING)
+    planted = (
+        f"chr(10) || 'import mod_' || (doc_id % {PR_MODS}) || "
+        f"chr(10) || 'from mod_' || ((doc_id * 3 + 1) % {PR_MODS}) || ' import x'"
+    )
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_EXACT_ITERS + 1):
+        # every CTE is AS MATERIALIZED: each r{i} is referenced twice
+        # (inflow join + dangling mass) — inlining would re-evaluate the
+        # whole chain per reference, i.e. 2^iters regex extractions
+        iters.append(
+            f"dang{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS m FROM {prev} "
+            f"WHERE node NOT IN (SELECT src FROM deg)),\n"
+            f"r{i} AS MATERIALIZED (SELECT n.node, {base_num} / (SELECT n FROM nn) + {damp} * "
+            f"(coalesce(c.inflow, 0.0) + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r.rank / e.deg) AS inflow "
+            f"FROM ed e JOIN {prev} r ON e.src = r.node GROUP BY 1) c ON c.node = n.node)"
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, text || CASE WHEN doc_id % 10 <> 0 THEN {planted} ELSE '' END AS text2
+  FROM documents),
+mods AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(flatten([
+    regexp_extract_all(text2, '{p1}', 1),
+    regexp_extract_all(text2, '{p2}', 1)]))) AS module
+  FROM aug),
+edges AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS src,
+         regexp_extract(module, '^mod_([0-9]+)$', 1)::bigint AS dst
+  FROM mods WHERE regexp_matches(module, '^mod_[0-9]+$')),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT count(*)::double AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{chain}
+SELECT node, round(rank, 6) AS rank FROM r{PR_EXACT_ITERS}
+"""
+
+
+def _pack_oracle_sql() -> str:
+    """pack_sequences oracle: greedy next-fit is a sequential
+    recurrence, replayed exactly as a depth-bounded recursive CTE
+    (state = (row, open-sequence start, open-sequence tokens); a doc
+    starts a new sequence iff the open total + its tokens would exceed
+    the budget — the same reduction pack_partition implements,
+    including oversized singletons whose open total is already > budget)."""
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, len({_TOKS})::bigint AS n_tokens,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id < {PACK_MAX_DOCS}),
+st(rn, seq_start, seq_tok) AS (
+  SELECT rn, doc_id, n_tokens FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.rn,
+         CASE WHEN st.seq_tok + d.n_tokens > {PACK_BUDGET}
+              THEN d.doc_id ELSE st.seq_start END,
+         CASE WHEN st.seq_tok + d.n_tokens > {PACK_BUDGET}
+              THEN d.n_tokens ELSE st.seq_tok + d.n_tokens END
+  FROM st JOIN d ON d.rn = st.rn + 1)
+SELECT st.seq_start AS seq_id,
+       list(d.doc_id ORDER BY d.doc_id) AS doc_ids,
+       count(*)::int AS n_docs,
+       sum(d.n_tokens)::bigint AS total_tokens,
+       (count(*) = 1 AND sum(d.n_tokens) > {PACK_BUDGET}) AS needs_split
+FROM st JOIN d ON d.rn = st.rn
+GROUP BY 1
+"""
+
+
+def _cochange_oracle_sql() -> str:
+    """co_change_edges oracle: the classic per-commit self-join pair
+    expansion ('commit' renamed cmt — reserved word in DuckDB), with
+    the same giant-commit cap."""
+    r = f"(doc_id % {CC_REPO_MOD})"
+    f_ = f"(doc_id % {CC_FILE_MOD})"
+    c = f"(doc_id % {CC_COMMIT_MOD})"
+    return f"""
+WITH f AS (SELECT DISTINCT 'r' || {r} AS repo, 'c' || {c} AS cmt,
+                  'r' || {r} || ':f' || {f_} AS file
+           FROM documents),
+g AS (SELECT repo, cmt FROM f GROUP BY 1, 2 HAVING count(*) <= 64)
+SELECT x.file AS a, y.file AS b, count(*)::bigint AS weight
+FROM f x JOIN f y ON x.repo = y.repo AND x.cmt = y.cmt AND x.file < y.file
+JOIN g ON g.repo = x.repo AND g.cmt = x.cmt
+GROUP BY 1, 2
+"""
+
 # ---------------------------------------------------------------------------
 # query constants (shared between Spark callables and oracle SQL)
 # ---------------------------------------------------------------------------
@@ -321,6 +471,21 @@ TEMPORAL_NOW = "2024-01-20 12:00:00"
 FLEX_START = "2024-01-08 00:00:00"
 FLEX_END = "2024-01-15 00:00:00"
 FLEX_NOW = "2024-02-01 00:00:00"
+# round-4 gates: code-search / graph / packing operators over the driver
+# table, with DETERMINISTIC PLANTED code constructs (same technique as
+# pii_scrub: both engines append identical text, so the extraction
+# semantics are hash-checked cross-engine on content that actually
+# exercises them — the driver corpus is natural language).
+TRIGRAM_LITERAL = "merge batch"
+TRIGRAM_REGEX = "fast scan|slow merge"  # top-level literal alternation -> 'or' plan
+SYM_LANGS = ["python", "javascript", "go", "java", "rust"]
+SYM_FN_MOD, SYM_CLS_MOD = 23, 7
+PR_DAMPING = 0.85
+PR_EXACT_ITERS = 8
+PR_MODS = 50
+PACK_BUDGET = 64
+PACK_MAX_DOCS = 600
+CC_REPO_MOD, CC_FILE_MOD, CC_COMMIT_MOD = 3, 41, 29
 
 
 # ---------------------------------------------------------------------------
@@ -458,13 +623,24 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs PLUS (since r04, absorbing the former
+    dedup_ngram_jaccard gate) the brute-force all-pairs shingle-Jaccard
+    result as a second row family — one slot hash-checks both the scale
+    path and its small-N oracle operator."""
     from pyspark.sql import functions as F
 
     pairs = D.minhash_lsh_pairs(
         _docs(spark, sf_dir), "text", "doc_id",
         n=JACCARD_N, bands=LSH_BANDS, threshold=JACCARD_T,
     )
-    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    lsh = pairs.select(
+        F.lit("lsh").alias("method"), "a", "b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    allp = q_dedup_jaccard(spark, sf_dir).select(
+        F.lit("allpairs").alias("method"), "a", "b", "jaccard"
+    )
+    return lsh.unionByName(allp)
 
 
 def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +952,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             recall_row("ivf", p, SIM.ivf_topk(rest, q, ANN_K + 32, cents, nprobe=p))
         )
+    # absorbed ann_cosine_topk gate (r04): the exact top-k itself rides
+    # along as two row families in the same (method, param, recall)
+    # schema — 'exact_id' carries (rank → id) and 'exact_cos' carries
+    # (rank → rounded cosine), so T1's full output stays hash-checked
+    ex = q_ann_cosine(spark, sf_dir)
+    rows.append(
+        ex.select(
+            F.lit("exact_id").alias("method"),
+            F.col("rank").cast("int").alias("param"),
+            F.col("id").cast("double").alias("recall"),
+        )
+    )
+    rows.append(
+        ex.select(
+            F.lit("exact_cos").alias("method"),
+            F.col("rank").cast("int").alias("param"),
+            F.col("cosine").alias("recall"),
+        )
+    )
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
@@ -817,19 +1012,25 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five per-doc text-analysis signal families in one gate row
+    """All six per-doc text-analysis signal families in one gate row
     per document: language-ID, quality scores, fingerprints, token
-    accounting, Gopher repetition. Each operator is a zero-shuffle
-    row-wise projection (pinned individually by pytest); the doc_id
-    joins here are gate plumbing only — one driver slot verifies every
-    signal column instead of five."""
+    accounting, Gopher repetition, and (since r04, absorbing the former
+    doc_stats gate) S3 metadata + content hash (n_distinct / n_chars /
+    content_sha256). Each operator is a zero-shuffle row-wise
+    projection (pinned individually by pytest); the doc_id joins here
+    are gate plumbing only — one driver slot verifies every signal
+    column instead of six."""
     a = q_lang_id(spark, sf_dir)
     b = q_quality(spark, sf_dir)
     c = q_fingerprint(spark, sf_dir)
     d = q_token_counts(spark, sf_dir)
     e = q_text_repetition(spark, sf_dir)
+    f = q_doc_stats(spark, sf_dir).select(
+        "doc_id", "n_distinct", "n_chars", "content_sha256"
+    )
     return (
-        a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id").join(e, "doc_id")
+        a.join(b, "doc_id").join(c, "doc_id").join(d, "doc_id")
+        .join(e, "doc_id").join(f, "doc_id")
     )
 
 
@@ -1065,6 +1266,11 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank fusion, both formulas in one slot (since r04, absorbing the
+    former score_combine gate): 'rrf' rows carry J1/F9/T4 reciprocal-
+    rank fusion (rank, id, rank_d, rank_s, score); 'blend' rows carry
+    J2/F10/U1 max-normalized score blending (rank, id, norm_d, norm_s,
+    score) — generalized column names, both families hash-checked."""
     from pyspark.sql import functions as F
 
     idx = _index(spark, sf_dir)
@@ -1074,9 +1280,23 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _q_vec(spark, sf_dir, 0)
     dense = q_ann_topn(spark, sf_dir, qv, RRF_K).select("id", "rank")
     fused = FU.rrf_fuse(dense, sparse, k_fusion=RRF_KF, w_dense=RRF_WD, w_sparse=RRF_WS, topk=RRF_K)
-    return fused.select(
-        "fused_rank", "id", "rank_d", "rank_s", F.round("rrf_score", 6).alias("rrf_score")
+    rrf_rows = fused.select(
+        F.lit("rrf").alias("method"),
+        F.col("fused_rank").alias("rank"),
+        "id",
+        F.col("rank_d").cast("double").alias("aux_d"),
+        F.col("rank_s").cast("double").alias("aux_s"),
+        F.round("rrf_score", 6).alias("score"),
     )
+    blend_rows = q_score_combine(spark, sf_dir).select(
+        F.lit("blend").alias("method"),
+        F.col("combined_rank").alias("rank"),
+        "id",
+        F.col("norm_d").alias("aux_d"),
+        F.col("norm_s").alias("aux_s"),
+        F.col("combined").alias("score"),
+    )
+    return rrf_rows.unionByName(blend_rows)
 
 
 def q_ann_topn(spark: SparkSession, sf_dir: str, qv, n: int) -> DataFrame:
@@ -1134,9 +1354,31 @@ def q_multimodal_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_real_media,
     )
 
+    from pyspark.sql import functions as F
+
     media = synthesize_real_media(_docs(spark, sf_dir), "text", "doc_id")
     meta = extract_metadata(media, decoder=decode_real)
-    return meta.select("id", "media_type", "width", "height", "n_frames")
+    # absorbed frame_sample gate (r04): per-id sorted sampled-frame
+    # array from the STUB media path — S2's sampling operator stays
+    # hash-checked without its own driver slot
+    frames = (
+        q_frame_sample(spark, sf_dir)
+        .groupBy("id")
+        .agg(
+            F.min("media_type").alias("stub_media_type"),
+            F.sort_array(F.collect_list("frame_idx")).alias("sampled_frames"),
+        )
+    )
+    return (
+        meta.join(frames, "id", "left")
+        .select(
+            "id", "media_type", "width", "height", "n_frames",
+            F.coalesce("stub_media_type", F.lit("none")).alias("stub_media_type"),
+            F.coalesce(
+                "sampled_frames", F.array().cast("array<int>")
+            ).alias("sampled_frames"),
+        )
+    )
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1605,6 +1847,196 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-4 gates: code-search / graph / packing (SURVEY.md §8 round-4 wave)
+# ---------------------------------------------------------------------------
+
+
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram code search (operators/trigram.py) through BOTH planner
+    paths over the in-memory postings: the literal AND-of-trigrams path
+    and the conservative Cox regex planner's 'or' path (top-level
+    literal alternation). Results must equal the oracle's full
+    contains()/regexp scan — the index may only shrink the verify set,
+    never the result."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.trigram import (
+        doc_trigrams,
+        trigram_search,
+        trigram_search_regex,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = doc_trigrams(docs, "text", "doc_id")
+    lit_hits = trigram_search(
+        docs, TRIGRAM_LITERAL, index=idx, text_col="text", id_col="doc_id"
+    ).select(F.lit("literal").alias("method"), "doc_id")
+    rx_hits = trigram_search_regex(
+        docs, TRIGRAM_REGEX, index=idx, text_col="text", id_col="doc_id"
+    ).select(F.lit("regex").alias("method"), "doc_id")
+    return lit_hits.unionByName(rx_hits)
+
+
+def _sym_planted(doc_id_col):
+    """Per-language planted definition lines, keyed on doc_id — the
+    Spark twin of the oracle's chr(10)-concat CASE (identical bytes)."""
+    from pyspark.sql import functions as F
+
+    a = (doc_id_col % SYM_FN_MOD).cast("string")
+    b = (doc_id_col % SYM_CLS_MOD).cast("string")
+    nl = F.lit("\n")
+    return {
+        "python": F.concat(
+            nl, F.lit("def fn_"), a, F.lit("(x):"), nl, F.lit("    pass"),
+            nl, F.lit("class Cls_"), b, F.lit(":"), nl, F.lit("    pass"),
+        ),
+        "javascript": F.concat(
+            nl, F.lit("function fn_"), a, F.lit("(x) {}"),
+            nl, F.lit("class Cls_"), b, F.lit(" {}"),
+            nl, F.lit("const arrow_"), a, F.lit(" = (x) => x"),
+        ),
+        "go": F.concat(
+            nl, F.lit("func fn_"), a, F.lit("() {}"),
+            nl, F.lit("type Typ_"), b, F.lit(" struct {}"),
+        ),
+        "java": F.concat(
+            nl, F.lit("public class Cls_"), b, F.lit(" {}"),
+            nl, F.lit("interface Iface_"), a, F.lit(" {}"),
+        ),
+        "rust": F.concat(
+            nl, F.lit("fn fn_"), a, F.lit("() {}"),
+            nl, F.lit("pub struct Typ_"), b, F.lit(" {}"),
+        ),
+    }
+
+
+def q_code_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-symbol extraction + definition index (operators/symbols.py;
+    the jump-to-definition layer the reference lacks). The driver corpus
+    is natural language, so each doc gets deterministic PLANTED
+    definition heads in the language selected by doc_id % 5 — every
+    LANG_PATTERNS branch of the extraction CASE is exercised and the
+    oracle re-derives the same symbols with the SAME regexes in DuckDB
+    (RE2 ∩ Java-portable by construction)."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.symbols import (
+        extract_symbols,
+        symbol_definitions,
+    )
+
+    docs = _docs(spark, sf_dir)
+    planted = _sym_planted(F.col("doc_id"))
+    lang_case = None
+    text_case = None
+    for i, lg in enumerate(SYM_LANGS):
+        cond = F.col("doc_id") % 5 == i
+        lang_case = F.when(cond, lg) if lang_case is None else lang_case.when(cond, lg)
+        text_case = (
+            F.when(cond, planted[lg])
+            if text_case is None
+            else text_case.when(cond, planted[lg])
+        )
+    aug = docs.select(
+        "doc_id",
+        lang_case.alias("lang"),
+        F.concat(F.col("text"), text_case).alias("content"),
+    )
+    syms = extract_symbols(aug, text_col="content", lang_col="lang", id_col="doc_id")
+    return symbol_definitions(syms).select(
+        "symbol", "kind", F.col("n_defs").cast("long").alias("n_defs"), "doc_ids"
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import extraction → dependency edges → PageRank doc prior
+    (operators/graph.py). Docs with doc_id % 10 == 0 import nothing →
+    real dangling-mass rows; everyone else gets two planted python
+    import lines resolving module mod_j to doc j. Run in exact_iters
+    mode (8 rounds, one Spark action each) so the unrolled-SQL oracle
+    reaches the identical fixed point; ranks rounded to 6 dp."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.graph import extract_imports, pagerank
+
+    docs = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.lit("\nimport mod_"),
+        (F.col("doc_id") % PR_MODS).cast("string"),
+        F.lit("\nfrom mod_"),
+        ((F.col("doc_id") * 3 + 1) % PR_MODS).cast("string"),
+        F.lit(" import x"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 != 0, planted).otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    mods = extract_imports(aug, text_col="content", id_col="doc_id")
+    edges = (
+        mods.filter(F.col("module").rlike("^mod_[0-9]+$"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("module", "^mod_([0-9]+)$", 1).cast("long").alias("dst"),
+        )
+    )
+    pr = pagerank(edges, damping=PR_DAMPING, exact_iters=PR_EXACT_ITERS)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.py): greedy
+    next-fit over doc_id order at partitions=1 (the globally
+    deterministic mode), token counts from the engine tokenizer. The
+    oracle replays the same sequential recurrence as a recursive CTE;
+    input capped at doc_id < PACK_MAX_DOCS so the recursion depth is
+    bounded at every SF. PACK_BUDGET=64 < max doc tokens, so oversized
+    needs_split singletons are exercised too."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.functions.tokenize import tokenize_expr
+    from local_search_engine_spark.operators.packing import pack_sequences
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < PACK_MAX_DOCS)
+        .select(
+            "doc_id",
+            F.size(tokenize_expr(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+    out = pack_sequences(d, budget=PACK_BUDGET, partitions=1)
+    return out.select(
+        "seq_id",
+        "doc_ids",
+        F.col("n_docs").cast("int").alias("n_docs"),
+        "total_tokens",
+        "needs_split",
+    )
+
+
+def q_co_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-change mining (operators/cochange.py): deterministic
+    (repo, path, commit) synthesis from doc_id residues, then the
+    in-array i<j pair expansion with the giant-commit cap. The oracle
+    is the classic self-join formulation — both must produce identical
+    weighted edges."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.cochange import co_change_edges
+
+    corpus = _docs(spark, sf_dir).select(
+        F.concat(F.lit("r"), (F.col("doc_id") % CC_REPO_MOD).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), (F.col("doc_id") % CC_FILE_MOD).cast("string")).alias("path"),
+        F.concat(F.lit("c"), (F.col("doc_id") % CC_COMMIT_MOD).cast("string")).alias("commit"),
+    )
+    edges = co_change_edges(corpus, max_commit_files=64, min_weight=1)
+    return edges.select("a", "b", F.col("weight").cast("long").alias("weight"))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1649,7 +2081,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       * multimodal_meta (stub decode) -> multimodal_meta_real (REAL
                                          PNG/WAV container decode; the
                                          stub path stays covered via
-                                         multimodal_frame_sample)
+                                         the sampled_frames columns)
+
+    Round-4 consolidation (five slots freed for the round-3 operator
+    wave — each absorbed gate's OUTPUT still rides inside the merged
+    gate, so nothing lost hash coverage):
+
+      * doc_stats                -> text_signals (extra n_distinct /
+                                    n_chars / content_sha256 columns)
+      * multimodal_frame_sample  -> multimodal_meta_real
+                                    (stub_media_type + sampled_frames)
+      * ann_cosine_topk          -> ann_recall ('exact_id'/'exact_cos'
+                                    row families carry the full top-k)
+      * dedup_ngram_jaccard      -> dedup_minhash_lsh ('allpairs' rows)
+      * score_combine            -> rrf_fusion ('blend' rows)
+
+    freed slots now hold: trigram_search, code_symbols, pagerank,
+    pack_sequences, co_change_edges (operators/trigram.py, symbols.py,
+    graph.py, packing.py, cochange.py — the r03 pytest-only wave, now
+    driver-oracled).
 
     The 12 gates the r02 driver window missed lead the dict; every cut
     gate's callable remains tested in tests/ (see SURVEY.md §8)."""
@@ -1671,21 +2121,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_persisted": q_ann_srp_persisted,
         "ann_recall": q_ann_recall,
         "chunk_split_separators": q_chunk_split_separators,
+        # -- new round-4 gates (the r03 pytest-only operator wave) --
+        "trigram_search": q_trigram_search,
+        "code_symbols": q_code_symbols,
+        "pagerank": q_pagerank,
+        "pack_sequences": q_pack_sequences,
+        "co_change_edges": q_co_change,
         # -- previously driver-verified --
         "bm25_batch": q_bm25_batch,
         "bm25_wand_topk": q_bm25_wand,
         "term_df_idf": q_term_df_idf,
         "corpus_profile": q_corpus_profile,
-        "doc_stats": q_doc_stats,
         "postings_blocks": q_postings_blocks,
         "dedup_exact_keep": q_dedup_exact_keep,
-        "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_neardup_clusters": q_dedup_clusters,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_chunks_exact": q_dedup_chunks,
-        "ann_cosine_topk": q_ann_cosine,
         "ann_srp_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_persisted": q_ann_ivf_persisted,
@@ -1702,8 +2155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf,
         "temporal_decay": q_temporal,
         "multimodal_meta_real": q_multimodal_meta_real,
-        "multimodal_frame_sample": q_frame_sample,
-        "score_combine": q_score_combine,
         "results_by_source": q_results_by_source,
         "phrase_citations": q_phrase_citations,
         "pii_scrub": q_pii_scrub,
@@ -2543,14 +2994,17 @@ FROM p
         for p in ANN_RECALL_IVF_PROBES
     ]
     oracles["ann_recall"] = " UNION ALL ".join(recall_legs)
-    # merged text-signal gate: the five per-doc signal oracles joined on
-    # doc_id (USING collapses the key — one doc_id column out)
+    # merged text-signal gate: the six per-doc signal oracles joined on
+    # doc_id (USING collapses the key — one doc_id column out); the
+    # sixth leg is the absorbed doc_stats gate's metadata/hash columns
     oracles["text_signals"] = f"""
 SELECT * FROM ({oracles["text_lang_id"]}) a
 JOIN ({oracles["text_quality"]}) b USING (doc_id)
 JOIN ({oracles["text_fingerprint"]}) c USING (doc_id)
 JOIN ({oracles["text_token_counts"]}) d USING (doc_id)
 JOIN ({oracles["text_repetition"]}) e USING (doc_id)
+JOIN (SELECT doc_id, n_distinct, n_chars, content_sha256
+      FROM ({oracles["doc_stats"]})) f USING (doc_id)
 """
     # merged corpus profile: stats + per-lang percentiles, unpivoted
     s_cols = ["n_docs", "avgdl", "avg_idf", "n_terms", "n_postings", "total_tokens"]
@@ -2587,4 +3041,43 @@ SELECT s.doc_id, s.chunk_id::int AS chunk_id, s.start_char, s.end_char,
        substr(d.text, s.start_char + 1, s.end_char - s.start_char) AS chunk_text
 FROM spans s JOIN documents d USING (doc_id)
 """
+    # ---- round-4 merged gates (absorbed outputs ride along) ----
+    oracles["dedup_minhash_lsh"] = f"""
+SELECT 'lsh' AS method, a, b, round(jac, 6) AS jaccard FROM ({minhash_pairs_sql})
+UNION ALL
+SELECT 'allpairs' AS method, a, b, jaccard FROM ({oracles["dedup_ngram_jaccard"]})
+"""
+    oracles["rrf_fusion"] = f"""
+SELECT 'rrf' AS method, fused_rank AS rank, id, rank_d::double AS aux_d,
+       rank_s::double AS aux_s, rrf_score AS score FROM ({oracles["rrf_fusion"]})
+UNION ALL
+SELECT 'blend' AS method, combined_rank AS rank, id, norm_d AS aux_d,
+       norm_s AS aux_s, combined AS score FROM ({oracles["score_combine"]})
+"""
+    oracles["ann_recall"] = (
+        oracles["ann_recall"]
+        + f" UNION ALL SELECT 'exact_id' AS method, rank AS param, id::double AS recall FROM ({exact_ids})"
+        + f" UNION ALL SELECT 'exact_cos' AS method, rank AS param, cosine AS recall FROM ({exact_ids})"
+    )
+    oracles["multimodal_meta_real"] = f"""
+SELECT m.id, m.media_type, m.width, m.height, m.n_frames,
+       coalesce(f.stub_media_type, 'none') AS stub_media_type,
+       coalesce(f.sampled_frames, CAST([] AS INTEGER[])) AS sampled_frames
+FROM ({oracles["multimodal_meta_real"]}) m
+LEFT JOIN (SELECT id, min(media_type) AS stub_media_type,
+                  list_sort(list(frame_idx)) AS sampled_frames
+           FROM ({oracles["multimodal_frame_sample"]}) GROUP BY 1) f ON f.id = m.id
+"""
+    # ---- round-4 new gates (the r03 pytest-only operator wave) ----
+    oracles["trigram_search"] = f"""
+SELECT 'literal' AS method, doc_id FROM documents
+WHERE contains(text, '{TRIGRAM_LITERAL}')
+UNION ALL
+SELECT 'regex' AS method, doc_id FROM documents
+WHERE regexp_matches(text, '{TRIGRAM_REGEX}')
+"""
+    oracles["code_symbols"] = _sym_oracle_sql()
+    oracles["pagerank"] = _pagerank_oracle_sql()
+    oracles["pack_sequences"] = _pack_oracle_sql()
+    oracles["co_change_edges"] = _cochange_oracle_sql()
     return oracles
