@@ -267,6 +267,16 @@ def main() -> None:
             docs, "merge join", index=tri_index, text_col="text"
         ).count(),
     )
+    from local_search_engine_spark.operators.trigram import trigram_search_regex
+
+    # regex planner 'or' path: literal alternation -> union of trigram
+    # AND-sets over the pruned scan, rlike verify on candidates only
+    bench(
+        "trigram_regex",
+        lambda: trigram_search_regex(
+            docs, "fast scan|slow merge", index=tri_index, text_col="text"
+        ).count(),
+    )
     bench("text_quality", lambda: TS.quality_scores(docs, "text", "doc_id").count())
     bench(
         "text_fingerprint", lambda: TS.doc_fingerprints(docs, "text", "doc_id").count()
@@ -343,6 +353,76 @@ def main() -> None:
             ["merg", "tabel", "windw", "query"],
             max_d=2,
         ).collect(),
+    )
+    # --- round-4: bench entries for the remaining round-3 operators ---
+    from local_search_engine_spark.operators.cochange import co_change_edges
+
+    cc_corpus = docs.selectExpr(
+        "concat('r', doc_id % 3) AS repo",
+        "concat('f', doc_id % 41) AS path",
+        "concat('c', doc_id % 29) AS commit",
+    )
+    co_change_edges(cc_corpus.limit(500)).count()  # warm the shape
+    bench("co_change_edges", lambda: co_change_edges(cc_corpus).count())
+    from local_search_engine_spark.operators.graph import pagerank
+
+    pr_edges = docs.selectExpr(
+        "doc_id AS src", "(doc_id * 7 + 3) % 997 AS dst"
+    ).filter("doc_id % 10 <> 0")
+    pagerank(pr_edges.limit(200), exact_iters=2)  # warm the shape
+    bench("pagerank_8iters", lambda: pagerank(pr_edges, exact_iters=8).count(), reps=1)
+    from local_search_engine_spark.operators.feedback import search_with_feedback
+
+    fb = {int(r["doc_id"]): 1 for r in
+          run_query_set(idx, [(0, "fast merge join query", 5)]).collect()}
+    search_with_feedback(idx, emb, "fast merge", qv, feedback=fb, k=10)[0].count()
+    bench(
+        "search_with_feedback",
+        lambda: search_with_feedback(
+            idx, emb, "fast merge join query", qv, feedback=fb, k=20
+        )[0].collect(),
+    )
+    from local_search_engine_spark.operators.snippets import best_snippets
+
+    top_docs = (
+        run_query_set(idx, [(0, "fast merge join query", 50)])
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "text")
+    )
+    best_snippets(top_docs.limit(5), ["warm"], text_col="text").count()
+    bench(
+        "best_snippets_top50",
+        lambda: best_snippets(
+            top_docs, ["fast", "merge", "join", "query"], text_col="text"
+        ).count(),
+    )
+    # composed flagship CLI path (r04 VERDICT #4): persisted WAND +
+    # persisted SRP ANN -> RRF -> snippets via scripts/code_search.py
+    # cmd_search. First call builds ROOT/bm25 + ROOT/ann (untimed,
+    # one-time cost); timed region = the full user-facing command incl.
+    # the manifest-hit resume check, both persisted-index prunes, fusion
+    # and snippet extraction.
+    import argparse
+
+    from scripts.code_search import cmd_search
+
+    cs_corpus = docs.selectExpr(
+        "concat('r', doc_id % 8) AS repo",
+        "concat('src/f', doc_id, '.py') AS path",
+        "'c0' AS commit",
+        "'python' AS lang",
+        "text AS content",
+    )
+    cs_args = argparse.Namespace(
+        query="fast merge join query",
+        index=tempfile.mkdtemp(prefix="bench_cs_"),
+        k=20,
+    )
+    cmd_search(spark, cs_corpus, cs_args)  # builds the indexes, untimed
+    bench(
+        "code_search_composed",
+        lambda: cmd_search(spark, cs_corpus, cs_args),
+        reps=1,
     )
 
     total = round(sum(timings.values()), 4)

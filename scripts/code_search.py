@@ -1,17 +1,31 @@
 """Code-search CLI over an input_hint corpus (repo, path, commit, lang,
-content) — the grep/def/related/suggest surface on top of the engine's
-operators.
+content) — the grep/def/related/suggest/search surface on top of the
+engine's operators.
 
   python scripts/code_search.py index   --corpus DIR --out IDX_DIR
   python scripts/code_search.py grep    --corpus DIR --query 'foo_bar(' [--index IDX_DIR] [--regex]
   python scripts/code_search.py def     --corpus DIR --symbol mergeShards
   python scripts/code_search.py related --corpus DIR --file 'org0/repo1:src/mod5/file_56.py'
   python scripts/code_search.py suggest --bm25-index IDX_DIR --prefix mer
+  python scripts/code_search.py search  --corpus DIR --index ROOT --query 'merge shards fast'
 
-`index` persists the trigram inverted file; `grep` uses it when given
-(bucket-pruned candidate AND + exact verify) and falls back to the full
-verify scan without it. On a real cluster: the same commands via
-spark-submit --py-files engine.zip.
+`index` persists the trigram inverted file plus a corpus fingerprint;
+`grep` uses the index when given (bucket-pruned candidate AND + exact
+verify) and falls back to the full verify scan without it — or when the
+fingerprint shows the index is STALE relative to the corpus (docs added
+after indexing would otherwise be silently missing from candidate sets;
+the no-silent-truncation contract requires refusing the stale prune).
+
+`search` is the composed flagship query path: persisted block-max WAND
+(sparse) + persisted SRP-LSH ANN over stub embeddings (dense) fused
+with RRF, then best-snippet extraction on the fused top-k — one
+command, all persisted-index pruning paths. On first use it builds
+ROOT/bm25 and ROOT/ann from the corpus (build_persisted_index is
+manifest-keyed, so re-running after an unchanged corpus is a no-op
+resume; the ANN index is rebuilt only if absent).
+
+On a real cluster: the same commands via spark-submit --py-files
+engine.zip.
 """
 
 from __future__ import annotations
@@ -27,10 +41,172 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from local_search_engine_spark.session import get_spark
 from local_search_engine_spark.sources.corpus import read_corpus
 
+FINGERPRINT_FILE = "corpus_fingerprint.json"
+
+
+def _with_file(corpus):
+    from pyspark.sql import functions as F
+
+    return corpus.withColumn("file", F.concat_ws(":", F.col("repo"), F.col("path")))
+
+
+def _corpus_fingerprint(docs) -> dict:
+    """Order-independent corpus identity: row count + bit_xor of
+    xxhash64(file, md5(content)) — one cheap agg job, no shuffle of
+    content."""
+    from pyspark.sql import functions as F
+
+    r = docs.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(file, md5(content)))").alias("h"),
+    ).first()
+    return {"n": int(r["n"]), "h": int(r["h"] or 0)}
+
+
+def _write_fingerprint(docs, out_dir: str) -> dict:
+    """Persist the corpus fingerprint next to a trigram index so grep
+    can detect staleness."""
+    fp = _corpus_fingerprint(docs)
+    with open(os.path.join(out_dir, FINGERPRINT_FILE), "w") as f:
+        json.dump(fp, f)
+    return fp
+
+
+def _load_fresh_index(spark, index_dir: str, docs):
+    """(index_df | None, stale: bool): load the trigram index ONLY if
+    its recorded fingerprint matches the corpus — a stale index's
+    candidate AND-sets would silently miss docs added after indexing,
+    so the no-silent-truncation contract requires refusing the prune
+    (the caller falls back to the exact full scan). A missing
+    fingerprint file counts as stale."""
+    fp_path = os.path.join(index_dir, FINGERPRINT_FILE)
+    expected = None
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            expected = json.load(f)
+    if expected != _corpus_fingerprint(docs):
+        return None, True
+    return spark.read.parquet(index_dir), False
+
+
+def _ensure_search_indexes(spark, corpus, root: str) -> dict:
+    """Build (or resume) ROOT/bm25 + ROOT/ann from the corpus. Returns
+    {'bm25': dir, 'ann': dir, 'built_ann': bool}."""
+    from local_search_engine_spark.functions.embed import embed_docs
+    from local_search_engine_spark.operators.similarity import persist_srp_index
+    from local_search_engine_spark.plans.checkpoint import build_persisted_index
+
+    bm25_dir = os.path.join(root, "bm25")
+    ann_dir = os.path.join(root, "ann")
+    # manifest-keyed: unchanged corpus => all units are manifest hits
+    build_persisted_index(spark, corpus, bm25_dir, text_col="content")
+    built_ann = not os.path.exists(os.path.join(ann_dir, "meta.json"))
+    if built_ann:
+        from local_search_engine_spark.plans.checkpoint import load_index
+
+        idx, _, _, _ = load_index(spark, bm25_dir)
+        emb = embed_docs(
+            _docs_with_ids(corpus, idx).select("doc_id", "content"),
+            "content",
+            "doc_id",
+            dim=64,
+        )
+        persist_srp_index(emb, 64, ann_dir, bits=8, id_col="doc_id")
+    return {"bm25": bm25_dir, "ann": ann_dir, "built_ann": built_ann}
+
+
+def _docs_with_ids(corpus, idx):
+    """Corpus rows keyed by the persisted index's doc_id space: the
+    index docs table carries content_sha256, not raw content, so join
+    the text back by content hash (dedup on doc_id — exact-dup contents
+    map to one id). Full-corpus join on slim columns; no broadcast hint
+    (both sides are corpus-sized — AQE picks the strategy)."""
+    from pyspark.sql import functions as F
+
+    return (
+        corpus.withColumn("content_sha256", F.sha2("content", 256))
+        .join(idx.docs.select("doc_id", "content_sha256"), "content_sha256")
+        .dropDuplicates(["doc_id"])
+    )
+
+
+def cmd_search(spark, corpus, args) -> dict:
+    """Persisted WAND + persisted ANN → RRF → snippets, end to end."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.functions.embed import stub_encoder_factory
+    from local_search_engine_spark.functions.tokenize import tokenize_py
+    from local_search_engine_spark.operators.fusion import rrf_fuse
+    from local_search_engine_spark.operators.similarity import (
+        srp_lsh_topk_persisted,
+    )
+    from local_search_engine_spark.operators.snippets import best_snippets
+    from local_search_engine_spark.operators.wand import make_wand_topk
+    from local_search_engine_spark.plans.checkpoint import load_index
+
+    dirs = _ensure_search_indexes(spark, corpus, args.index)
+    idx, postings, shard_meta, stats = load_index(spark, dirs["bm25"])
+    wand = make_wand_topk(
+        idx, postings, shard_meta, n_buckets=stats.get("n_buckets")
+    )
+    k = args.k
+    sparse = wand(args.query, k, prune=True).select(
+        F.col("doc_id").alias("id"), "rank"
+    )
+    qv = [float(x) for x in stub_encoder_factory(64)([args.query])[0]]
+    # srp_lsh_topk_persisted already emits (rank, id, cosine)
+    dense = srp_lsh_topk_persisted(
+        spark, dirs["ann"], qv, k, probe_hamming=1
+    ).select("id", "rank")
+    fused = rrf_fuse(dense, sparse, topk=k)
+    # fetch metadata + text for the fused TOP-K ONLY: broadcast the
+    # k-row fused side against the index doc table, then broadcast the
+    # k-row result against the corpus scan for the raw text — the
+    # corpus never shuffles for a query, whatever its size
+    hit_meta = idx.docs.select(
+        "doc_id",
+        "content_sha256",
+        F.concat_ws(":", F.col("repo"), F.col("path")).alias("file"),
+    ).join(F.broadcast(fused), F.col("doc_id") == fused["id"])
+    hits = (
+        corpus.withColumn("content_sha256", F.sha2("content", 256))
+        .join(F.broadcast(hit_meta), "content_sha256")
+        .dropDuplicates(["doc_id"])
+    )
+    snips = best_snippets(
+        hits.select("doc_id", "content"),
+        tokenize_py(args.query),
+        text_col="content",
+        id_col="doc_id",
+    )
+    out = (
+        hits.join(snips, "doc_id")
+        .orderBy("fused_rank")
+        .select("fused_rank", "file", "rrf_score", "n_hits", "snippet")
+        .collect()
+    )
+    return {
+        "cmd": "search",
+        "query": args.query,
+        "built_ann": dirs["built_ann"],
+        "results": [
+            {
+                "rank": int(r["fused_rank"]),
+                "file": r["file"],
+                "score": round(float(r["rrf_score"]), 6),
+                "snippet_hits": int(r["n_hits"]),
+                "snippet": r["snippet"],
+            }
+            for r in out
+        ],
+    }
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["index", "grep", "def", "related", "suggest"])
+    ap.add_argument(
+        "cmd", choices=["index", "grep", "def", "related", "suggest", "search"]
+    )
     ap.add_argument("--corpus")
     ap.add_argument("--format", default="parquet")
     ap.add_argument("--out")
@@ -50,16 +226,15 @@ def main() -> None:
     corpus = read_corpus(spark, args.corpus, fmt=args.format) if args.corpus else None
 
     if args.cmd == "index":
-        from pyspark.sql import functions as F
-
         from local_search_engine_spark.operators.trigram import build_trigram_index
 
-        docs = corpus.withColumn(
-            "file", F.concat_ws(":", F.col("repo"), F.col("path"))
-        )
+        docs = _with_file(corpus)
         build_trigram_index(docs, args.out, text_col="content", id_col="file")
+        # record what corpus this index describes, so grep can detect a
+        # stale index instead of silently missing late-added docs
+        fp = _write_fingerprint(docs, args.out)
         n = spark.read.parquet(args.out).count()
-        print(json.dumps({"cmd": "index", "postings": n,
+        print(json.dumps({"cmd": "index", "postings": n, "fingerprint": fp,
                           "wall_sec": round(time.time() - t0, 2)}))
     elif args.cmd == "grep":
         from local_search_engine_spark.operators.trigram import (
@@ -67,27 +242,23 @@ def main() -> None:
             trigram_search_regex,
         )
 
-        # grep needs file identity, not numeric ids — key rows by repo:path
-        from pyspark.sql import functions as F
-
-        docs = corpus.withColumn(
-            "file", F.concat_ws(":", F.col("repo"), F.col("path"))
+        docs = _with_file(corpus)
+        index, stale = (
+            _load_fresh_index(spark, args.index, docs) if args.index else (None, False)
         )
-        index = spark.read.parquet(args.index) if args.index else None
         fn = trigram_search_regex if args.regex else trigram_search
         hits = fn(docs, args.query, index=index, text_col="content", id_col="file")
         rows = [r["doc_id"] for r in hits.orderBy("doc_id").limit(args.k).collect()]
         print(json.dumps({"cmd": "grep", "query": args.query,
                           "regex": args.regex, "pruned": index is not None,
+                          "index_stale": stale,
                           "hits": rows, "wall_sec": round(time.time() - t0, 2)}))
     elif args.cmd == "def":
         from pyspark.sql import functions as F
 
         from local_search_engine_spark.operators.symbols import extract_symbols
 
-        docs = corpus.withColumn(
-            "file", F.concat_ws(":", F.col("repo"), F.col("path"))
-        )
+        docs = _with_file(corpus)
         syms = extract_symbols(docs, text_col="content", lang_col="lang", id_col="file")
         hits = (
             syms.filter(F.col("symbol") == args.symbol)
@@ -111,6 +282,10 @@ def main() -> None:
         ]
         print(json.dumps({"cmd": "related", "file": args.file, "related": rows,
                           "wall_sec": round(time.time() - t0, 2)}))
+    elif args.cmd == "search":
+        out = cmd_search(spark, corpus, args)
+        out["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
     else:  # suggest
         from local_search_engine_spark.operators.query import suggest_terms
         from local_search_engine_spark.plans.checkpoint import load_index

@@ -75,3 +75,47 @@ def test_full_code_search_journey(spark, tmp_path):
         for r in docs.filter(F.contains("content", F.lit(lit))).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_cli_search_composed_and_stale_grep(spark, tmp_path):
+    """r04 (VERDICT #4): the CLI's flagship `search` subcommand —
+    persisted WAND + persisted SRP ANN fused with RRF, snippets on the
+    fused top-k — driven in-process through cmd_search; plus the
+    stale-trigram-index refusal (r03 ADVICE): grep must fall back to
+    the exact scan when the corpus outgrew the index fingerprint."""
+    import argparse
+
+    from scripts.code_search import (
+        _load_fresh_index,
+        _with_file,
+        _write_fingerprint,
+        cmd_search,
+    )
+
+    corpus = gen_corpus_spark(spark, 120, partitions=4)
+    args = argparse.Namespace(query="merge shard", index=str(tmp_path / "root"), k=5)
+    out = cmd_search(spark, corpus, args)
+    assert out["built_ann"] is True
+    assert out["results"], "composed search returned nothing"
+    ranks = [r["rank"] for r in out["results"]]
+    assert ranks == list(range(1, len(ranks) + 1))
+    assert all(r["file"] and ":" in r["file"] for r in out["results"])
+    assert any(r["snippet_hits"] >= 1 for r in out["results"])
+
+    # second invocation: bm25 units are manifest hits, ANN not rebuilt,
+    # identical results — the resume contract of the composed path
+    out2 = cmd_search(spark, corpus, args)
+    assert out2["built_ann"] is False
+    assert out2["results"] == out["results"]
+
+    # stale-index refusal: fingerprint matches -> pruned; corpus grows
+    # past the fingerprint -> the prune is refused (exact-scan fallback)
+    docs = _with_file(corpus)
+    tri_dir = str(tmp_path / "tri")
+    build_trigram_index(docs, tri_dir, text_col="content", id_col="file")
+    _write_fingerprint(docs, tri_dir)
+    idx_df, stale = _load_fresh_index(spark, tri_dir, docs)
+    assert idx_df is not None and not stale
+    grown = _with_file(gen_corpus_spark(spark, 140, partitions=4))
+    idx_df2, stale2 = _load_fresh_index(spark, tri_dir, grown)
+    assert idx_df2 is None and stale2
