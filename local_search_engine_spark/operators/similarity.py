@@ -282,6 +282,37 @@ def ivf_topk(
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "id", "cosine")
 
 
+def _ivf_assign_with_dist(v_df, centroids):
+    """(id, v, cluster, _d): nearest-centroid assignment PLUS the L2
+    distance to it, sharing one `_dists` array so assignment and
+    distance are a single evaluation of the centroid expressions."""
+    from pyspark.sql import functions as F
+
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return (
+        v_df.withColumn("_dists", dists)
+        .withColumn(
+            "cluster",
+            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1).cast("int"),
+        )
+        .withColumn("centroid_dist", F.sqrt(F.array_min("_dists")))
+        .drop("_dists")
+    )
+
+
 def persist_ivf_index(
     embeddings,
     centroids,
@@ -293,7 +324,17 @@ def persist_ivf_index(
     then prunes whole cluster directories at scan time (PartitionFilters
     in the FileScan — the ANN analog of the WAND term_bucket directory
     layout). Also persists the centroid table (cluster, centroid) beside
-    it so a query planner needs no retraining."""
+    it so a query planner needs no retraining, and stats.json with the
+    TRAIN-TIME PER-CLUSTER mean nearest-centroid distance (quantization
+    error) — the drift baseline append_ivf_index compares appended
+    batches against, cluster by cluster (a global mean would conflate
+    distribution drift with resolution imbalance: a region served by one
+    coarse centroid quantizes worse than a finely covered one even with
+    zero drift). Each vector's own distance is stored as a
+    `centroid_dist` column in the inverted file (8 bytes/vector; query
+    scans never read it — column-pruned), so the stats derive from a
+    narrow 2-column scan of the freshly WRITTEN file, not a second pass
+    over the source."""
     import json
     import os
 
@@ -302,12 +343,31 @@ def persist_ivf_index(
     v = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    assigned = v.withColumn("cluster", _ivf_assign_expr(centroids))
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(index_dir, "vectors")
-    )
+    assigned = _ivf_assign_with_dist(v, centroids)
+    vec_dir = os.path.join(index_dir, "vectors")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(vec_dir)
     with open(os.path.join(index_dir, "centroids.json"), "w") as f:
         json.dump(centroids, f)
+    per_cluster = (
+        embeddings.sparkSession.read.parquet(vec_dir)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"), F.avg("centroid_dist").alias("mean_dist"))
+        .collect()
+    )
+    n_train = sum(int(r["n"]) for r in per_cluster)
+    total = sum(int(r["n"]) * float(r["mean_dist"] or 0.0) for r in per_cluster)
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "n_train": n_train,
+                "train_mean_dist": (total / n_train) if n_train else 0.0,
+                "cluster_mean_dist": {
+                    str(int(r["cluster"])): float(r["mean_dist"] or 0.0)
+                    for r in per_cluster
+                },
+            },
+            f,
+        )
 
 
 def append_ivf_index(
@@ -315,17 +375,34 @@ def append_ivf_index(
     new_embeddings,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-):
+    drift_threshold: float = 1.5,
+) -> dict:
     """Incrementally add vectors to a persisted IVF inverted file:
     assign the NEW batch against the SAVED centroids (no retraining, no
     touch of existing data) and parquet-append into the
     cluster-partitioned layout — per-batch cost is O(batch), and
     queries keep pruning whole cluster directories. Caller contract:
-    ids are new (same as the postings append path). Centroids drift as
-    the corpus grows — standard IVF maintenance is a periodic retrain +
-    rebalance (a fresh persist_ivf_index), which this layout makes a
-    straight rewrite; recall vs the exact path is observable via the
-    ann_recall machinery either way."""
+    ids are new (same as the postings append path).
+
+    Centroids DRIFT as the corpus grows, so every append measures it:
+    the batch's mean nearest-centroid distance is compared against the
+    TRAIN-TIME mean OF THE SAME CLUSTERS (per-cluster baselines from
+    stats.json, weighted by where the batch actually lands — comparing
+    against the global train mean would flag any batch that happens to
+    land in a coarsely-covered region, and miss drift into a
+    finely-covered one). drift_ratio = Σ n_c·(batch_mean_c /
+    train_mean_c) / Σ n_c over batch clusters with a train baseline;
+    clusters that were EMPTY at train time fall back to the global train
+    mean as baseline. Returns {batch_n, batch_mean_dist,
+    train_mean_dist, drift_ratio, retrain_recommended}: a
+    shifted-distribution batch quantizes worse than the training data
+    in its landing clusters, drift_ratio rises above drift_threshold
+    and the flag tells the caller to retrain + rebalance (a fresh
+    persist_ivf_index over the union — this layout makes it a straight
+    rewrite; recall impact is observable via the ann_recall machinery
+    before AND after). The batch is cached around the write so the
+    per-cluster stats agg is a second action over O(batch) cached rows,
+    never a second pass over the source."""
     import json
     import os
 
@@ -336,10 +413,43 @@ def append_ivf_index(
     v = new_embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    assigned = v.withColumn("cluster", _ivf_assign_expr(centroids))
-    assigned.write.mode("append").partitionBy("cluster").parquet(
-        os.path.join(index_dir, "vectors")
-    )
+    assigned = _ivf_assign_with_dist(v, centroids).persist()
+    try:
+        assigned.write.mode("append").partitionBy("cluster").parquet(
+            os.path.join(index_dir, "vectors")
+        )
+        per_cluster = (
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n"), F.avg("centroid_dist").alias("mean_dist"))
+            .collect()
+        )
+    finally:
+        assigned.unpersist()
+    batch_n = sum(int(r["n"]) for r in per_cluster)
+    batch_total = sum(int(r["n"]) * float(r["mean_dist"] or 0.0) for r in per_cluster)
+    batch_mean = (batch_total / batch_n) if batch_n else 0.0
+    train_mean = None
+    ratio = None
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = json.load(f)
+        train_mean = stats.get("train_mean_dist")
+        per_train = stats.get("cluster_mean_dist", {})
+        num = den = 0.0
+        for r in per_cluster:
+            base = per_train.get(str(int(r["cluster"]))) or train_mean
+            if base:
+                num += int(r["n"]) * (float(r["mean_dist"] or 0.0) / base)
+                den += int(r["n"])
+        ratio = (num / den) if den else None
+    return {
+        "batch_n": batch_n,
+        "batch_mean_dist": batch_mean,
+        "train_mean_dist": train_mean,
+        "drift_ratio": ratio,
+        "retrain_recommended": bool(ratio is not None and ratio > drift_threshold),
+    }
 
 
 def append_srp_index(

@@ -209,6 +209,50 @@ def test_persisted_ann_incremental_append(spark, tmp_path):
     emb.unpersist()
 
 
+def test_ivf_append_drift_flag(spark, tmp_path):
+    """r04 (VERDICT #5): IVF drift observability. A shifted-distribution
+    batch quantizes far worse against the saved centroids than the
+    training data did — append_ivf_index measures it (one Observation on
+    the write job) and trips retrain_recommended; a same-distribution
+    batch does not. After the recommended retrain+rebalance (fresh
+    centroids over the union), (a) the same shifted distribution no
+    longer trips the flag, and (b) a shifted-region query at nprobe=1
+    finds its true neighbors — the recall story post-retrain."""
+    import math
+
+    def mk(ids, shift=0.0):
+        rows = [
+            (i, [shift + math.sin(i * 0.7 + d) for d in range(8)]) for i in ids
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    base = mk(range(64))
+    shifted = mk(range(100, 132), shift=50.0)
+    cents = SIM.ivf_train_centroids(base, 4, 8, iters=2)
+    idx = str(tmp_path / "ivf")
+    SIM.persist_ivf_index(base, cents, idx)
+
+    m = SIM.append_ivf_index(idx, shifted)
+    assert m["batch_n"] == 32 and m["train_mean_dist"] > 0
+    assert m["drift_ratio"] > 1.5 and m["retrain_recommended"], m
+
+    m2 = SIM.append_ivf_index(idx, mk(range(200, 232)))
+    assert not m2["retrain_recommended"], m2
+
+    # retrain + rebalance: fresh centroids over everything seen so far
+    union = base.unionByName(shifted).unionByName(mk(range(200, 232)))
+    cents2 = SIM.ivf_train_centroids(union, 4, 8, iters=2)
+    idx2 = str(tmp_path / "ivf2")
+    SIM.persist_ivf_index(union, cents2, idx2)
+    m3 = SIM.append_ivf_index(idx2, mk(range(300, 332), shift=50.0))
+    assert not m3["retrain_recommended"], m3
+    # a shifted-region query now has its own cluster: nprobe=1 returns
+    # only true (shifted) neighbors
+    qv = [50.0 + math.sin(101 * 0.7 + d) for d in range(8)]
+    got = {r["id"] for r in SIM.ivf_topk_persisted(spark, idx2, qv, 5, nprobe=1).collect()}
+    assert got and all(100 <= i < 132 or 300 <= i < 332 for i in got), got
+
+
 def test_ivf_empty_cluster_keeps_seed(spark):
     """Training with more centroids than distinct vectors must not
     divide by zero — empty clusters keep their previous centroid."""
