@@ -225,6 +225,72 @@ def extract_metadata(media, decoder=None):
     return media.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def synthesize_pdf_media(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministic REAL PDF bytes from a text table: each row becomes a
+    complete single-page PDF 1.4 (xref, page tree, Flate content stream)
+    embedding the row's text verbatim — the test/gate harness for
+    pdf_extract. Arrow-batched mapInPandas; bytes built row-locally, no
+    shuffle."""
+
+    def batches(it):
+        import pandas as pd
+
+        from local_search_engine_spark.functions.pdftext import build_pdf
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": [int(d) for d in pdf[id_col]],
+                    "payload": [
+                        build_pdf([t or ""]) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, "id long, payload binary"
+    )
+
+
+PDF_TEXT_SCHEMA = "id long, text string, n_pages int, extract_ok boolean"
+
+
+def pdf_extract(media, payload_col: str = "payload", id_col: str = "id"):
+    """PDF binary → extracted text, the reference's PyPDF2 ingest
+    (reference preprocessing.py:335-345) re-expressed as an Arrow-batched
+    mapInPandas over a binary column: per-page text, pages joined with a
+    single space (byte-parity with the reference's join), dependency-free
+    parser (functions/pdftext.py). Narrow op — partitioning preserved, no
+    shuffle; extract_ok=False flags pages outside the raw/FlateDecode
+    subset instead of failing silently."""
+
+    def batches(it):
+        import pandas as pd
+
+        from local_search_engine_spark.functions.pdftext import extract_pdf_text
+
+        for pdf in it:
+            texts, pages, oks = [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    text, n_pages, ok = extract_pdf_text(bytes(payload))
+                except Exception:
+                    text, n_pages, ok = "", 0, False
+                texts.append(text)
+                pages.append(n_pages)
+                oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "id": [int(d) for d in pdf[id_col]],
+                    "text": texts,
+                    "n_pages": pd.Series(pages, dtype="int32"),
+                    "extract_ok": oks,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, PDF_TEXT_SCHEMA)
+
+
 def frame_sample(media_meta, every_n: int = 4):
     """Frame-sampling plumbing: one row per sampled frame index —
     posexplode over a sequence bounded by n_frames. The per-frame pixel
