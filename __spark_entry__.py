@@ -1310,6 +1310,31 @@ def q_ann_topn(spark: SparkSession, sf_dir: str, qv, n: int) -> DataFrame:
     )
 
 
+def q_pdf_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 PDF scan, closed end-to-end through REAL binaries: every
+    document's text becomes a complete single-page PDF 1.4 (xref table,
+    page tree, Flate content stream — functions/pdftext.py build_pdf),
+    then pdf_extract parses the binary back with the dependency-free
+    extractor (reference preprocessing.py:335-345 PyPDF2 page-join
+    parity). The oracle is simply the ORIGINAL text, so hash equality
+    proves the build→binary→parse round-trip is byte-lossless — any
+    escape/encoding/stream-length bug in either direction mismatches.
+    Both stages are narrow Arrow mapInPandas over the scan (no shuffle,
+    plan pinned in tests/test_pdf.py)."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.multimodal import (
+        pdf_extract,
+        synthesize_pdf_media,
+    )
+
+    media = synthesize_pdf_media(_docs(spark, sf_dir), text_col="text", id_col="doc_id")
+    out = pdf_extract(media)
+    return out.select(
+        "id", "text", F.col("n_pages").cast("int").alias("n_pages"), "extract_ok"
+    )
+
+
 def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
 
@@ -2101,6 +2126,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graph.py, packing.py, cochange.py — the r03 pytest-only wave, now
     driver-oracled).
 
+      * temporal_decay (late r04) -> pytest twins in tests/test_fusion.py
+                                     (temporal_filter boundary semantics +
+                                     FU.temporal_decay vs a pure-python
+                                     twin); the P7 filter and the exp-decay
+                                     formula both stay HASH-gated inside
+                                     temporal_nl_search. Slot now holds
+                                     pdf_extract_roundtrip (S2 closed:
+                                     text → real PDF binary → extracted
+                                     text, oracle = original text).
+
     The 12 gates the r02 driver window missed lead the dict; every cut
     gate's callable remains tested in tests/ (see SURVEY.md §8)."""
     return {
@@ -2153,7 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
-        "temporal_decay": q_temporal,
+        "pdf_extract_roundtrip": q_pdf_extract_roundtrip,
         "multimodal_meta_real": q_multimodal_meta_real,
         "results_by_source": q_results_by_source,
         "phrase_citations": q_phrase_citations,
@@ -2740,6 +2775,17 @@ SELECT fused_rank, id, rank_d, rank_s, round(rrf, 6) AS rrf_score FROM (
   SELECT row_number() OVER (ORDER BY rrf DESC, id)::int AS fused_rank, *
   FROM scored) WHERE fused_rank <= {RRF_K}
 """,
+        # S2 PDF round-trip: Spark builds a REAL PDF binary per doc and
+        # parses it back; the oracle is the untouched source text, so the
+        # hash gate fails on ANY lossy step in either direction.
+        "pdf_extract_roundtrip": """
+SELECT doc_id AS id, coalesce(text, '') AS text,
+       1::int AS n_pages, TRUE AS extract_ok
+FROM documents
+""",
+        # kept although the gate slot moved to pdf_extract_roundtrip
+        # (late r04): documents the cross-engine-checked formula; the
+        # callable q_temporal remains exercised by tests/test_fusion.py
         "temporal_decay": f"""
 SELECT event_id, event_type, value,
        round(value * pow({DECAY_RATE},

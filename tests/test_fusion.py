@@ -172,3 +172,62 @@ def test_ranked_topk_plan_is_limit_first(spark):
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert len(ranked.collect()) == 10
+
+
+def test_temporal_filter_boundary_semantics(spark):
+    """P7 strict window is INCLUSIVE on both ends (reference
+    retriever.py:1046-1052 uses >= start and <= end) and each open end
+    drops its predicate entirely."""
+    from local_search_engine_spark.operators.fusion import temporal_filter
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 7, 23, 59, 59)),
+        (2, datetime.datetime(2024, 1, 8, 0, 0, 0)),     # == start, kept
+        (3, datetime.datetime(2024, 1, 10, 12, 0, 0)),
+        (4, datetime.datetime(2024, 1, 15, 0, 0, 0)),    # == end, kept
+        (5, datetime.datetime(2024, 1, 15, 0, 0, 1)),
+    ]
+    ev = spark.createDataFrame(rows, "id long, ts timestamp")
+    start, end = "2024-01-08 00:00:00", "2024-01-15 00:00:00"
+    kept = lambda df: sorted(r["id"] for r in df.collect())  # noqa: E731
+    assert kept(temporal_filter(ev, "ts", start=start, end=end)) == [2, 3, 4]
+    assert kept(temporal_filter(ev, "ts", start=start)) == [2, 3, 4, 5]
+    assert kept(temporal_filter(ev, "ts", end=end)) == [1, 2, 3, 4]
+    assert kept(temporal_filter(ev, "ts")) == [1, 2, 3, 4, 5]
+
+
+def test_temporal_decay_matches_python_twin(spark):
+    """F8 exponential recency decay vs a pure-python transcription of
+    the reference formula (retriever.py:1044): decayed =
+    score * rate^max(days_old, 0), days_old in floor days. Future
+    timestamps clamp to factor 1.0. (Gate slot moved to
+    pdf_extract_roundtrip late r04 — this twin plus the hash-gated
+    inline decay in temporal_nl_search keep the formula pinned.)"""
+    from local_search_engine_spark.operators.fusion import temporal_decay
+
+    now = datetime.date(2024, 2, 1)
+    rows = [
+        (1, datetime.datetime(2024, 1, 31, 5, 0), 10.0),   # 1 day old
+        (2, datetime.datetime(2024, 2, 1, 9, 30), 8.0),    # same day -> 0
+        (3, datetime.datetime(2024, 2, 3, 0, 0), 6.0),     # future -> clamp
+        (4, datetime.datetime(2023, 12, 1, 0, 0), 4.0),    # 62 days old
+        (5, datetime.datetime(2024, 1, 15, 23, 59), 0.0),  # zero score
+    ]
+    ev = spark.createDataFrame(rows, "id long, ts timestamp, value double")
+    got = {
+        r["id"]: r["decayed"]
+        for r in temporal_decay(ev, "ts", now, score_col="value").collect()
+    }
+    for rid, ts, score in rows:
+        days = max((now - ts.date()).days, 0)
+        assert got[rid] == pytest.approx(score * 0.95**days, rel=1e-12)
+    # filter + decay composition is still ONE narrow plan: no exchange
+    from local_search_engine_spark.operators.fusion import temporal_filter
+
+    plan = (
+        temporal_decay(temporal_filter(ev, "ts", start="2024-01-01"), "ts", now)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
