@@ -294,6 +294,19 @@ def main() -> None:
     from local_search_engine_spark.functions.embed import embed_docs
 
     bench("embed_docs", lambda: embed_docs(docs, "text", "doc_id", dim=32).count())
+    # PDF ingest seam: text -> real PDF binary -> parsed text, both
+    # stages narrow Arrow mapInPandas (throughput = the binary decode
+    # path a PDF corpus would pay at ingest)
+    from local_search_engine_spark.operators.multimodal import (
+        pdf_extract,
+        synthesize_pdf_media,
+    )
+
+    pdf_extract(synthesize_pdf_media(docs.limit(200))).count()  # warm
+    bench(
+        "pdf_extract_roundtrip",
+        lambda: pdf_extract(synthesize_pdf_media(docs)).count(),
+    )
     from local_search_engine_spark.operators.chunking import chunk_docs_separators
 
     bench(

@@ -291,6 +291,61 @@ def pdf_extract(media, payload_col: str = "payload", id_col: str = "id"):
     return media.select(id_col, payload_col).mapInPandas(batches, PDF_TEXT_SCHEMA)
 
 
+def pdf_to_text(
+    df,
+    payload_col: str = "payload",
+    out_col: str = "content",
+    pages_col: str = "n_pages",
+    ok_col: str = "extract_ok",
+):
+    """All-columns-through PDF ingest: appends (out_col, pages_col,
+    ok_col) to EVERY input column in one narrow mapInPandas pass — no id
+    synthesis, no self-join, partitioning preserved. This is the shape a
+    corpus keyed by (repo, path, commit) needs: pdf_extract is the
+    id-keyed gate harness; this is the production ingest step
+    (scripts/build_index.py --pdf-col). The payload column is dropped
+    from the output (the decoded text replaces it; re-select upstream to
+    keep the bytes)."""
+    import pyspark.sql.types as T
+
+    for c in (out_col, pages_col, ok_col):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists in the input")
+    kept = [f for f in df.schema.fields if f.name != payload_col]
+    schema = T.StructType(
+        kept
+        + [
+            T.StructField(out_col, T.StringType()),
+            T.StructField(pages_col, T.IntegerType()),
+            T.StructField(ok_col, T.BooleanType()),
+        ]
+    )
+    kept_names = [f.name for f in kept]
+
+    def batches(it):
+        import pandas as pd
+
+        from local_search_engine_spark.functions.pdftext import extract_pdf_text
+
+        for pdf in it:
+            texts, pages, oks = [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    text, n_pages, ok = extract_pdf_text(bytes(payload))
+                except Exception:
+                    text, n_pages, ok = "", 0, False
+                texts.append(text)
+                pages.append(n_pages)
+                oks.append(ok)
+            out = pdf[kept_names].copy()
+            out[out_col] = texts
+            out[pages_col] = pd.Series(pages, dtype="int32")
+            out[ok_col] = oks
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
 def frame_sample(media_meta, every_n: int = 4):
     """Frame-sampling plumbing: one row per sampled frame index —
     posexplode over a sequence bounded by n_frames. The per-frame pixel

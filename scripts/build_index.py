@@ -38,10 +38,30 @@ def main() -> None:
     ap.add_argument("--block-span", type=int, default=None)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--n-groups", type=int, default=8)
+    ap.add_argument(
+        "--pdf-col",
+        default=None,
+        metavar="COL",
+        help="corpus column holding PDF binaries; text is extracted from it "
+        "(dependency-free parser, operators/multimodal.pdf_extract) and "
+        "indexed as `content`. Rows whose PDFs use unsupported codecs are "
+        "counted and SKIPPED (extract_ok=false), never silently indexed "
+        "as empty.",
+    )
     args = ap.parse_args()
 
     spark = get_spark("build-index", cores=args.cores)
     corpus = read_corpus(spark, args.corpus, args.format)
+    if args.pdf_col:
+        from pyspark.sql import functions as F
+
+        from local_search_engine_spark.operators.multimodal import pdf_to_text
+
+        decoded = pdf_to_text(corpus, payload_col=args.pdf_col, out_col="content")
+        n_bad = decoded.filter(~F.col("extract_ok")).count()
+        if n_bad:
+            print(f"skipping {n_bad} rows with unsupported PDF codecs", file=sys.stderr)
+        corpus = decoded.filter("extract_ok").drop("n_pages", "extract_ok")
     t0 = time.time()
     build_persisted_index(
         spark,

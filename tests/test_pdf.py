@@ -20,6 +20,7 @@ from local_search_engine_spark.functions.pdftext import (
 )
 from local_search_engine_spark.operators.multimodal import (
     pdf_extract,
+    pdf_to_text,
     synthesize_pdf_media,
 )
 
@@ -208,3 +209,68 @@ def test_spark_pdf_plan_is_narrow(spark):
         synthesize_pdf_media(docs)
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pdf_to_text_all_columns_through(spark):
+    """Production ingest shape: every input column rides through the
+    narrow decode; payload is replaced by the decoded text; codec-seam
+    rows are flagged, not dropped or blanked silently."""
+    from local_search_engine_spark.functions.pdftext import build_pdf
+
+    rows = [
+        ("r1", "a/b.py", "c0", "py", build_pdf(["def f(): pass"])),
+        ("r1", "a/c.py", "c0", "py", build_pdf(["page one", "page two"])),
+        ("r2", "x.txt", "c1", "txt", b"not a pdf"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, payload binary"
+    )
+    out = pdf_to_text(corpus, payload_col="payload").orderBy("path").collect()
+    assert [r["path"] for r in out] == ["a/b.py", "a/c.py", "x.txt"]
+    assert out[0]["content"] == "def f(): pass" and out[0]["extract_ok"]
+    assert out[1]["content"] == "page one page two" and out[1]["n_pages"] == 2
+    assert out[2]["content"] == "" and out[2]["n_pages"] == 0
+    # all original non-payload columns present, payload gone
+    assert set(out[0].asDict()) == {
+        "repo", "path", "commit", "lang", "content", "n_pages", "extract_ok",
+    }
+    # collision guard
+    with pytest.raises(ValueError):
+        pdf_to_text(corpus.withColumnRenamed("lang", "content"))
+
+
+def test_pdf_corpus_indexes_end_to_end(spark, tmp_path):
+    """The --pdf-col ingest composition (scripts/build_index.py): PDF
+    corpus -> pdf_to_text -> persisted index -> WAND query finds the
+    document by a term that exists only inside the PDF binary."""
+    from local_search_engine_spark.functions.pdftext import build_pdf
+    from local_search_engine_spark.plans.checkpoint import (
+        build_persisted_index,
+        load_index,
+    )
+
+    rows = [
+        ("r", f"f{i}.py", "c0", "py", build_pdf([f"module {i}\ndef handler_{i}(): return {i}"]))
+        for i in range(30)
+    ]
+    rows.append(("r", "needle.py", "c0", "py", build_pdf(["def zanzibar_needle(): pass"])))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, payload binary"
+    )
+    decoded = pdf_to_text(corpus, payload_col="payload", out_col="content")
+    assert decoded.filter("NOT extract_ok").count() == 0
+    idx_dir = str(tmp_path / "pdf_index")
+    build_persisted_index(
+        spark,
+        decoded.drop("n_pages", "extract_ok"),
+        idx_dir,
+        docs_per_shard=16,
+        n_buckets=4,
+        n_groups=2,
+    )
+    from local_search_engine_spark.operators.wand import make_wand_topk
+
+    idx, postings, shard_meta, stats = load_index(spark, idx_dir)
+    wand = make_wand_topk(idx, postings, shard_meta)
+    hits = wand("zanzibar_needle", 5).collect()
+    assert len(hits) == 1
