@@ -1364,14 +1364,15 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL binary decode (S2 closed): spec-valid PNG/WAV bytes are
-    synthesized per doc (parameters derived from md5(text)), then
-    decode_real parses the actual containers back — signature checks,
-    IHDR big-endian dims, RIFF chunk walk. The oracle replicates the
-    synthesis PARAMETERS from md5(text) in SQL, so the round-trip
-    through genuine binary formats is hash-checked. size_bytes is
-    excluded: the PNG's IDAT length depends on zlib's output, which SQL
-    cannot re-derive (WAV size would be derivable; the column is pinned
+    """REAL binary decode (S2 closed): spec-valid PNG/WAV/JPEG/mp4 bytes
+    are synthesized per doc cycling doc_id % 4 (parameters derived from
+    md5(text)), then decode_real parses the actual containers back —
+    PNG IHDR big-endian dims, RIFF chunk walk, JPEG SOF marker-segment
+    scan, ISO BMFF box walk (tkhd 16.16 dims + stsz sample count). The
+    oracle replicates the synthesis PARAMETERS from md5(text) in SQL,
+    so the round-trip through four genuine binary formats is
+    hash-checked. size_bytes is excluded: the PNG's IDAT length depends
+    on zlib's output, which SQL cannot re-derive (the column is pinned
     by pytest instead)."""
     from local_search_engine_spark.operators.multimodal import (
         decode_real,
@@ -2808,14 +2809,18 @@ FROM documents, unnest(range(0, {_MM_FRAMES}, 4)) t(f)
         # recover exactly these by PARSING the real PNG/WAV containers
         "multimodal_meta_real": f"""
 SELECT doc_id AS id,
-       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS media_type,
-       (CASE WHEN doc_id % 2 = 0 THEN {_MM_WIDTH}
-             ELSE 8000 + 100 * (('0x' || substr(md5(text), 1, 2))::int % 8)
+       (['png', 'wav', 'jpeg', 'mp4'])[(doc_id % 4)::int + 1] AS media_type,
+       (CASE doc_id % 4
+             WHEN 1 THEN 8000 + 100 * (('0x' || substr(md5(text), 1, 2))::int % 8)
+             WHEN 3 THEN 16 * {_MM_WIDTH}
+             ELSE {_MM_WIDTH}
         END)::int AS width,
-       (CASE WHEN doc_id % 2 = 0 THEN {_MM_HEIGHT}
-             ELSE 1 + ('0x' || substr(md5(text), 3, 2))::int % 2
+       (CASE doc_id % 4
+             WHEN 1 THEN 1 + ('0x' || substr(md5(text), 3, 2))::int % 2
+             WHEN 3 THEN 16 * {_MM_HEIGHT}
+             ELSE {_MM_HEIGHT}
         END)::int AS height,
-       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE {_MM_FRAMES} END)::int AS n_frames
+       (CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE {_MM_FRAMES} END)::int AS n_frames
 FROM documents
 """,
         "index_merge_incremental": f"""

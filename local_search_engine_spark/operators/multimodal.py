@@ -128,36 +128,210 @@ def build_wav(rate: int, channels: int, n_samples: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def parse_jpeg_header(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG's SOF marker — dependency-free walk of
+    the marker-segment stream (ITU T.81): after SOI, each segment is
+    0xFF <marker> <2-byte big-endian length incl. itself>; any SOFn
+    (0xC0-0xCF except DHT 0xC4 / JPG 0xC8 / DAC 0xCC) carries
+    precision(1) height(2) width(2). Stops at SOS — a JPEG with no SOF
+    before its scan data is malformed."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return width, height
+        if marker == 0xDA:  # SOS before any SOF
+            break
+        pos += 2 + length
+    raise ValueError("JPEG has no SOF marker before scan data")
+
+
+def build_jpeg(width: int, height: int) -> bytes:
+    """A complete, DECODABLE baseline grayscale JPEG (ITU T.81): SOI,
+    JFIF APP0, DQT (flat table), SOF0, two minimal custom DHTs (one
+    1-bit code each — '0' -> DC category 0 / AC EOB; all-ones codes are
+    reserved, '0' is legal), SOS, and real entropy data: every 8x8 MCU
+    encodes DC-diff 0 + EOB = bits '00', padded with 1s. Any conformant
+    decoder renders a uniform gray width x height image; stdlib only."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([16] * 64))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht_dc = seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+    dht_ac = seg(0xC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00")
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    n_mcus = -(-height // 8) * -(-width // 8)
+    nbits = 2 * n_mcus  # '00' per MCU
+    nbytes = (nbits + 7) // 8
+    # bit buffer of zeros, 1-padded to the byte boundary
+    pad = nbytes * 8 - nbits
+    data = bytearray(nbytes)
+    if pad:
+        data[-1] = (1 << pad) - 1
+    # 0xFF byte-stuffing (cannot occur with this bit pattern; kept for
+    # correctness if the MCU code ever changes)
+    entropy = bytes(data).replace(b"\xff", b"\xff\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+    )
+
+
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+def _walk_mp4(payload: bytes, start: int, end: int, found: dict):
+    """ISO BMFF box walk (ISO 14496-12): size(4, big-endian, includes
+    header; 1 -> 64-bit largesize follows) + type(4); containers recurse."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body_at = pos + 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            body_at = pos + 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("mp4 box overruns its parent")
+        if tag in _MP4_CONTAINERS:
+            _walk_mp4(payload, body_at, pos + size, found)
+        else:
+            found.setdefault(tag, payload[body_at : pos + size])
+        pos += size
+
+
+def parse_mp4_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) from an ISO BMFF (mp4/mov) file:
+    width/height from tkhd's trailing 16.16 fixed-point fields,
+    n_frames from stsz's sample_count. Box walk only — no codec
+    payload is touched (frame PIXELS stay the documented seam)."""
+    import struct
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (no ftyp)")
+    found: dict = {}
+    _walk_mp4(payload, 0, len(payload), found)
+    tkhd = found.get(b"tkhd")
+    stsz = found.get(b"stsz")
+    if tkhd is None or stsz is None:
+        raise ValueError("mp4 missing tkhd or stsz box")
+    off = 84 if tkhd[0] == 1 else 72  # version 1 widens three time fields
+    wfx, hfx = struct.unpack(">II", tkhd[off + 4 : off + 12])
+    (n_frames,) = struct.unpack(">I", stsz[8:12])
+    return wfx >> 16, hfx >> 16, n_frames
+
+
+def build_mp4(width: int, height: int, n_frames: int) -> bytes:
+    """A structurally valid minimal ISO BMFF video file: ftyp + moov
+    (mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd/stts/stsc/stsz/
+    stco))))) + empty mdat. Every box has a correct size header; stsz
+    uses a constant sample size so the table stays O(1). Stdlib only."""
+    import struct
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    def full(tag: bytes, version: int, body: bytes) -> bytes:
+        return box(tag, bytes([version, 0, 0, 0]) + body)
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = full(
+        b"mvhd",
+        0,
+        struct.pack(">IIII", 0, 0, 1000, n_frames * 40)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd",
+        0,
+        struct.pack(">IIIII", 0, 0, 1, 0, n_frames * 40)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, 25, n_frames, 0x55C4, 0))
+    hdlr = full(b"hdlr", 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    stsd = full(b"stsd", 0, struct.pack(">I", 0))
+    stts = full(b"stts", 0, struct.pack(">III", 1, n_frames, 1))
+    stsc = full(b"stsc", 0, struct.pack(">I", 0))
+    stsz = full(b"stsz", 0, struct.pack(">II", 1, n_frames))
+    stco = full(b"stco", 0, struct.pack(">I", 0))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat = box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
 def decode_real(payload: bytes, media_type: str) -> tuple[int, int, int]:
     """Real container decode, dispatched by MAGIC BYTES (not the label):
 
       PNG  -> (width, height, 1)
+      JPEG -> (width, height, 1)
       WAVE -> (sample_rate, n_channels, n_samples)   [audio semantics:
                width := sample rate, height := channels, n_frames :=
                samples — the same typed-meta columns, documented here]
+      mp4  -> (width, height, n_frames)              [ISO BMFF box walk]
 
-    Formats beyond PNG/WAV (JPEG, mp4, ...) remain the production seam:
-    wire PIL / pyav here on a cluster that has them."""
+    Container METADATA is parsed natively for all four; decoding frame
+    PIXELS / audio SAMPLES beyond the container level remains the
+    production seam: wire PIL / pyav here on a cluster that has them."""
     if payload[:8] == PNG_SIG:
         w, h = parse_png_header(payload)
+        return (w, h, 1)
+    if payload[:2] == b"\xff\xd8":
+        w, h = parse_jpeg_header(payload)
         return (w, h, 1)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, channels, n_samples = parse_wav_header(payload)
         return (rate, channels, n_samples)
+    if payload[4:8] == b"ftyp":
+        return parse_mp4_header(payload)
     raise NotImplementedError(
         "codec for this container requires media libraries not present in "
-        "this environment; wire PIL/ffmpeg here (PNG and WAV decode natively)"
+        "this environment; wire PIL/ffmpeg here (PNG/JPEG/WAV/mp4 container "
+        "metadata decodes natively)"
     )
 
 
 def synthesize_real_media(docs, text_col: str = "text", id_col: str = "doc_id"):
-    """Deterministic REAL media bytes from a text table: even doc_ids
-    get a spec-valid PNG, odd a spec-valid WAV, with container
-    parameters derived from the md5(text) digest bytes (b = digest):
+    """Deterministic REAL media bytes from a text table, cycling the four
+    natively-parsed containers by doc_id % 4 (0 png, 1 wav, 2 jpeg,
+    3 mp4), with container parameters derived from the md5(text) digest
+    bytes (b = digest):
 
-      png: width = 1 + b[0] % 64, height = 1 + b[1] % 64
-      wav: rate = 8000 + 100 * (b[0] % 8), channels = 1 + b[1] % 2,
-           n_samples = 1 + b[2] % 16
+      png:  width = 1 + b[0] % 64, height = 1 + b[1] % 64
+      wav:  rate = 8000 + 100 * (b[0] % 8), channels = 1 + b[1] % 2,
+            n_samples = 1 + b[2] % 16
+      jpeg: width = 1 + b[0] % 64, height = 1 + b[1] % 64
+      mp4:  width = 16 * (1 + b[0] % 64), height = 16 * (1 + b[1] % 64),
+            n_frames = 1 + b[2] % 16
 
     An SQL oracle replicates the PARAMETERS from md5(text) directly, so
     decode_real's round-trip through genuine binary containers is
@@ -173,13 +347,24 @@ def synthesize_real_media(docs, text_col: str = "text", id_col: str = "doc_id"):
             ids, types, payloads = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 b = hashlib.md5((text or "").encode("utf-8")).digest()
-                if int(did) % 2 == 0:
+                kind = int(did) % 4
+                if kind == 0:
                     types.append("png")
                     payloads.append(build_png(1 + b[0] % 64, 1 + b[1] % 64))
-                else:
+                elif kind == 1:
                     types.append("wav")
                     payloads.append(
                         build_wav(8000 + 100 * (b[0] % 8), 1 + b[1] % 2, 1 + b[2] % 16)
+                    )
+                elif kind == 2:
+                    types.append("jpeg")
+                    payloads.append(build_jpeg(1 + b[0] % 64, 1 + b[1] % 64))
+                else:
+                    types.append("mp4")
+                    payloads.append(
+                        build_mp4(
+                            16 * (1 + b[0] % 64), 16 * (1 + b[1] % 64), 1 + b[2] % 16
+                        )
                     )
                 ids.append(int(did))
             yield pd.DataFrame(

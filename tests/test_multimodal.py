@@ -1,15 +1,19 @@
-"""Multimodal binary plumbing: real PNG/WAV container build + parse
-(dependency-free), the decode_real dispatch, and the Spark round-trip
-through synthesize_real_media → extract_metadata."""
+"""Multimodal binary plumbing: real PNG/WAV/JPEG/mp4 container build +
+parse (dependency-free), the decode_real dispatch, and the Spark
+round-trip through synthesize_real_media → extract_metadata."""
 
 from __future__ import annotations
 
 import pytest
 
 from local_search_engine_spark.operators.multimodal import (
+    build_jpeg,
+    build_mp4,
     build_png,
     build_wav,
     decode_real,
+    parse_jpeg_header,
+    parse_mp4_header,
     parse_png_header,
     parse_wav_header,
     synthesize_real_media,
@@ -67,16 +71,51 @@ def test_wav_build_parse_roundtrip():
         parse_wav_header(b"RIFFxxxxNOPE")
 
 
+def test_jpeg_build_parse_roundtrip_and_validity():
+    import struct
+
+    for w, h in [(1, 1), (7, 3), (64, 64)]:
+        payload = build_jpeg(w, h)
+        assert parse_jpeg_header(payload) == (w, h)
+        assert decode_real(payload, "image") == (w, h, 1)
+        # spec shape: SOI first, EOI last, every non-entropy segment's
+        # declared length lands exactly on the next 0xFF marker
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        pos = 2
+        while True:
+            assert payload[pos] == 0xFF
+            marker = payload[pos + 1]
+            (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if marker == 0xDA:  # scan data follows; stop structural walk
+                break
+            pos += 2 + length
+    with pytest.raises(ValueError):
+        parse_jpeg_header(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
+def test_mp4_build_parse_roundtrip():
+    for w, h, n in [(16, 16, 1), (320, 240, 16), (1024, 64, 7)]:
+        payload = build_mp4(w, h, n)
+        assert parse_mp4_header(payload) == (w, h, n)
+        assert decode_real(payload, "video") == (w, h, n)
+    with pytest.raises(ValueError):
+        parse_mp4_header(b"\x00\x00\x00\x08free")  # no ftyp
+    with pytest.raises(ValueError):
+        # ftyp present but no moov/tkhd/stsz anywhere
+        parse_mp4_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00")
+
+
 def test_decode_real_unknown_container_is_the_seam():
+    # GIF is deliberately NOT parsed — the production seam stays honest
     with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff\xe0 jpeg-ish bytes", "image")
+        decode_real(b"GIF89a" + b"\x00" * 16, "image")
 
 
 def test_spark_real_media_roundtrip(spark):
     """End-to-end through the engine: synthesize real containers from a
-    text table, decode them back with decode_real inside mapInPandas —
-    recovered metadata must equal the synthesis parameters, and
-    size_bytes must equal the actual container size."""
+    text table (doc_id % 4 cycles png/wav/jpeg/mp4), decode them back
+    with decode_real inside mapInPandas — recovered metadata must equal
+    the synthesis parameters, and size_bytes the actual container size."""
     import hashlib
 
     rows = [(i, f"text for doc {i} with some length") for i in range(12)]
@@ -90,19 +129,25 @@ def test_spark_real_media_roundtrip(spark):
     for i, text in rows:
         b = hashlib.md5(text.encode()).digest()
         r = got[i]
-        if i % 2 == 0:
+        kind = i % 4
+        if kind == 0:
             assert r["media_type"] == "png"
-            assert (r["width"], r["height"], r["n_frames"]) == (
-                1 + b[0] % 64, 1 + b[1] % 64, 1,
-            )
+            expect_meta = (1 + b[0] % 64, 1 + b[1] % 64, 1)
             expect_payload = build_png(1 + b[0] % 64, 1 + b[1] % 64)
-        else:
+        elif kind == 1:
             assert r["media_type"] == "wav"
-            assert (r["width"], r["height"], r["n_frames"]) == (
-                8000 + 100 * (b[0] % 8), 1 + b[1] % 2, 1 + b[2] % 16,
+            expect_meta = (8000 + 100 * (b[0] % 8), 1 + b[1] % 2, 1 + b[2] % 16)
+            expect_payload = build_wav(*expect_meta)
+        elif kind == 2:
+            assert r["media_type"] == "jpeg"
+            expect_meta = (1 + b[0] % 64, 1 + b[1] % 64, 1)
+            expect_payload = build_jpeg(1 + b[0] % 64, 1 + b[1] % 64)
+        else:
+            assert r["media_type"] == "mp4"
+            expect_meta = (
+                16 * (1 + b[0] % 64), 16 * (1 + b[1] % 64), 1 + b[2] % 16,
             )
-            expect_payload = build_wav(
-                8000 + 100 * (b[0] % 8), 1 + b[1] % 2, 1 + b[2] % 16
-            )
+            expect_payload = build_mp4(*expect_meta)
+        assert (r["width"], r["height"], r["n_frames"]) == expect_meta
         assert r["size_bytes"] == len(expect_payload)
         assert bytes(r["payload"]) == expect_payload
