@@ -77,6 +77,14 @@ def h60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::bigint)"
 
 
+def h60_py(s: str) -> int:
+    """Python twin of h60_col (hashlib only) — used by the Arrow simhash
+    text kernel so tokenize+hash+pack run in ONE pass per doc."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def minhash_col(h_col, perm: int):
     """Spark: permuted hash (a*h + b) mod P for permutation index."""
     from pyspark.sql import functions as F
@@ -135,6 +143,30 @@ def minhash_sigs_udf():
     # needs REAL type objects, so set them explicitly
     _kernel.__annotations__ = {"hh": pd.Series, "return": pd.Series}
     return pandas_udf(_kernel, "array<long>")
+
+
+def simhash_text_udf(bits: int):
+    """Arrow-batched pandas UDF: text -> packed SimHash long (null for
+    token-less docs). tokenize_py + h60_py + np_simhash_pack in one
+    kernel pass — bit-identical to transform(tokenize_expr, h60_col)
+    fed through simhash_pack_udf (asserted in tests), but the whole
+    per-doc pipeline is evaluated exactly once per row."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .tokenize import tokenize_py
+
+    def _kernel(s):
+        def one(x):
+            toks = tokenize_py(x) if x is not None else []
+            if not toks:
+                return None
+            return np_simhash_pack([h60_py(t) for t in toks], bits)
+
+        return s.map(one)
+
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_kernel, "long")
 
 
 def simhash_pack_udf(bits: int):

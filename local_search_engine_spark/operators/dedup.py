@@ -238,26 +238,84 @@ def connected_components_star(pairs, max_iter: int = 50, metrics: dict | None = 
     return labels.union(roots)
 
 
-def doc_shingle_sets(docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+def _shingles_pandas_udf(n: int):
+    """Arrow-batched shingle kernel: text → DISTINCT word n-gram shingles
+    in first-occurrence order (bit-identical to the expr path's
+    array_distinct ordering). One tokenize pass per doc, in C-speed
+    Python regex — immune to the Catalyst expression-duplication failure
+    mode documented on doc_shingle_sets."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.tokenize import tokenize_py
+
+    def _sh(s):
+        def one(x):
+            toks = tokenize_py(x) if x is not None else []
+            if len(toks) < n:
+                return []
+            return list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+            )
+
+        return s.map(one)
+
+    # this module uses `from __future__ import annotations`; pandas_udf
+    # needs REAL type objects, so set them explicitly
+    _sh.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_sh, "array<string>")
+
+
+def doc_shingle_sets(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    impl: str = "pandas",
+):
     """(doc_id, shingles: array<string>) — the DISTINCT word n-gram
-    shingle set per doc, built entirely WITHIN the row: tokenize →
-    shifted-slice zip → array_distinct. ZERO shuffle — per-doc
-    distinctness never needs to leave the row, so the classic
+    shingle set per doc, built entirely WITHIN the row. ZERO shuffle —
+    per-doc distinctness never needs to leave the row, so the classic
     `explode → distinct()` full shuffle of the corpus-wide shingle table
     (~10^2 rows per doc — the single biggest relation in the dedup
     pipeline) is eliminated. The exploded presentation (doc_shingles) and
     every MinHash consumer derive from this set.
 
     Tokenization is the engine's single tokenizer (functions/tokenize.py);
-    shingles are space-joined token n-grams. The n-gram zip uses n SHIFTED
-    WHOLE-ARRAY slices folded with concat: n O(len) slices per doc
-    instead of one O(n) slice per offset (the per-offset
-    transform+slice shape measured 7x slower at sf0.1 — 12.4s -> 1.9s
-    for the shingle build; identical output).
+    shingles are space-joined token n-grams.
+
+    impl: 'pandas' (default) — Arrow-batched kernel, ONE tokenize pass
+    per doc; ExtractPythonUDFs evaluates the UDF exactly once even when
+    a filter predicate over `shingles` is pushed into this projection.
+    'expr' — pure-JVM fallback / cross-impl oracle (bit-identical,
+    asserted in tests). The expr shingle tree references the tokenize
+    expression from several slices; higher-order functions are
+    INTERPRETED (no codegen) and Catalyst both re-evaluates each
+    reference and substitutes the whole tree into pushed-down predicates,
+    so at 160 k docs the expr path measured ~0.5 s/doc of regex+lambda
+    re-evaluation (found round 4 via executor jstack: every task burning
+    CPU in StringSplit under ArrayFilter inside a CaseWhen predicate).
+    The kernel path is the 100 TB shape; keep 'expr' out of hot paths.
+    To keep the expr tree as cheap as possible it is built in TWO
+    projections (tokens materialized as an attribute first — CollapseProject
+    refuses to inline a non-cheap alias referenced more than once), which
+    bounds the damage to the pushed predicate's copy.
     """
     from pyspark.sql import functions as F
 
-    toks = tokenize_expr(F.col(text_col))
+    if impl == "pandas":
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            _shingles_pandas_udf(n)(F.col(text_col)).alias("shingles"),
+        )
+
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_expr(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     length = F.size(toks)
     m = length - F.lit(n - 1)  # number of shingles when length >= n
     acc = F.slice(toks, 1, m)
@@ -271,7 +329,7 @@ def doc_shingle_sets(docs, text_col: str = "text", id_col: str = "doc_id", n: in
     sh = F.when(length >= n, F.array_distinct(acc)).otherwise(
         F.array().cast("array<string>")
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+    return toks_df.select("doc_id", sh.alias("shingles"))
 
 
 def doc_shingles(docs, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
@@ -563,20 +621,31 @@ def simhash_signatures(
     via 60 `size(filter(hh, bit j))` scans; bit-identical but ~60
     interpreted array passes per doc (it was 30-50s of the sf0.1 bench,
     the single worst item, before the numpy kernel).
+
+    The pandas path runs tokenize+h60+pack as ONE Arrow kernel over the
+    text column (token-less docs → null, filtered after the UDF). The
+    earlier shape — a `transform(toks, h60)` projection under a
+    `size(hh) > 0` filter — paid the whole interpreted md5-per-token
+    tree TWICE per row: predicate pushdown substitutes the alias into
+    the filter condition (same Catalyst failure mode documented on
+    doc_shingle_sets; a Python UDF is a substitution barrier, so the
+    kernel output is computed exactly once).
     """
     from pyspark.sql import functions as F
 
-    from ..functions.hashing import simhash_pack_udf
+    if impl == "pandas":
+        from ..functions.hashing import simhash_text_udf
+
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            simhash_text_udf(SIMHASH_BITS)(F.col(text_col)).alias("simhash"),
+        ).filter(F.col("simhash").isNotNull())
 
     toks = tokenize_expr(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(toks, lambda t: h60_col(t)).alias("hh"),
     ).filter(F.size("hh") > 0)
-    if impl == "pandas":
-        return base.select(
-            "doc_id", simhash_pack_udf(SIMHASH_BITS)(F.col("hh")).alias("simhash")
-        )
     n = F.size(F.col("hh"))
     packed = None
     for j in range(SIMHASH_BITS):

@@ -285,6 +285,40 @@ def test_signature_impls_bit_identical(spark):
     assert sh_p == sh_e and len(sh_p) > 0
 
 
+def test_shingle_impls_bit_identical(spark):
+    """doc_shingle_sets impl='pandas' (the Arrow kernel fast path, round 4)
+    and impl='expr' (the two-projection Catalyst oracle) must agree
+    element-for-element INCLUDING order (array_distinct keeps first
+    occurrence; the kernel's dict.fromkeys must match), on hostile docs:
+    null, empty, separators-only, shorter-than-n, exactly-n, repeats."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "!!! ,,, ;;;"),
+        (3, "one two"),                      # < n tokens
+        (4, "one two three"),                # exactly n
+        (5, "a b c d"),                      # sub-min-len tokens only
+        (6, "alpha beta alpha beta alpha beta alpha"),  # repeated shingles
+        (7, "db io ml alpha beta gamma db io ml"),      # preserve-list terms
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = {r["doc_id"]: r["shingles"]
+         for r in D.doc_shingle_sets(docs, impl="pandas").collect()}
+    e = {r["doc_id"]: r["shingles"]
+         for r in D.doc_shingle_sets(docs, impl="expr").collect()}
+    assert p == e and len(p) == len(rows)
+    assert p[6] == ["alpha beta alpha", "beta alpha beta"]  # order pinned
+    corpus = _corpus(spark, 60)
+    cp = D.doc_shingle_sets(corpus, impl="pandas")
+    ce = D.doc_shingle_sets(corpus, impl="expr").withColumnRenamed(
+        "shingles", "sh2"
+    )
+    n_diff = cp.join(ce, "doc_id").filter(F.col("shingles") != F.col("sh2")).count()
+    assert n_diff == 0 and cp.count() == 60
+
+
 def test_benchmark_contamination_planted(spark):
     """A doc sharing exactly half its shingles with the benchmark set
     reports ratio 0.5; an unrelated doc reports 0; a too-short doc
