@@ -163,6 +163,46 @@ SELECT rank, doc_id, score FROM (
 """
 
 
+def _phrase_sql(specs) -> str:
+    """Top-k exact-phrase oracle for a batch of phrases: positions are
+    re-derived by a ZIPPED UNNEST over the shared tokenizer (token i ↔
+    ordinal i), and a phrase [t0..t_{L-1}] matches where tok(p+i)=t_i
+    for all i — a self-join chain per phrase, a genuinely independent
+    matcher from the engine's composite-key posting intersection.
+    Integer counts, rounded-rank rule degenerate (no floats)."""
+    parts = []
+    kvals = []
+    for pid, text, k in specs:
+        toks = tokenize_py(text)
+        kvals.append(f"({pid}, {k})")
+        joins = " ".join(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i} "
+            f"AND t{i}.t = '{t}'"
+            for i, t in enumerate(toks[1:], 1)
+        )
+        parts.append(
+            f"SELECT {pid}::int AS phrase_id, t0.doc_id AS doc_id, "
+            f"count(*)::bigint AS phrase_tf FROM tok t0 {joins} "
+            f"WHERE t0.t = '{toks[0]}' GROUP BY 1, 2"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(toks) AS t, unnest(range(len(toks))) AS p
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+u AS ({union}),
+r AS (SELECT phrase_id,
+             row_number() OVER (PARTITION BY phrase_id
+                                ORDER BY phrase_tf DESC, doc_id)::int AS rank,
+             doc_id, phrase_tf
+      FROM u)
+SELECT r.phrase_id, r.rank, r.doc_id, r.phrase_tf
+FROM r JOIN (VALUES {", ".join(kvals)}) km(pid, k) ON km.pid = r.phrase_id
+WHERE r.rank <= km.k
+"""
+
+
 def _srp_topk_sql(probe_r: int) -> str:
     """SRP-LSH top-k oracle parametrized by probe radius (r=0 = exact
     bucket; shared by the multiprobe, persisted, and recall gates)."""
@@ -486,6 +526,18 @@ PR_MODS = 50
 PACK_BUDGET = 64
 PACK_MAX_DOCS = 600
 CC_REPO_MOD, CC_FILE_MOD, CC_COMMIT_MOD = 3, 41, 29
+# positional-phrase gate: a batch of phrases in ONE plan (bigram /
+# self-adjacent / trigram shapes), counts are integers so the hash
+# check is exact with no rounding concerns
+PHRASE_SPECS = [
+    (0, "table table", 20),
+    (1, "fast table", 20),
+    (2, "spark window", 20),
+    (3, "agg row scan", 10),
+]
+POS_DOCS_PER_SHARD = 1000
+POS_BLOCK_SPAN = 256
+POS_N_BUCKETS = 16
 
 
 # ---------------------------------------------------------------------------
@@ -1335,6 +1387,34 @@ def q_pdf_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k over a POSITIONAL inverted index
+    (operators/positional.py) — the index-only replacement for the
+    reference's match-time substring scan of stored document text
+    (reference retriever.py:1040-1072). All phrases run in ONE plan
+    (one scan, one part_id shuffle, per-shard numpy composite-key
+    intersection); document text is never read at query time. The
+    oracle re-derives positions in SQL (zipped unnest over the shared
+    tokenizer) and joins tokens at pos+i — a completely independent
+    phrase matcher, so doc sets AND per-doc occurrence counts are
+    hash-checked."""
+    from local_search_engine_spark.operators.positional import (
+        build_positional_postings,
+        make_phrase_topk,
+    )
+
+    postings = build_positional_postings(
+        _docs(spark, sf_dir),
+        docs_per_shard=POS_DOCS_PER_SHARD,
+        block_span=POS_BLOCK_SPAN,
+        n_buckets=POS_N_BUCKETS,
+    )
+    q = make_phrase_topk(
+        postings, block_span=POS_BLOCK_SPAN, n_buckets=POS_N_BUCKETS
+    )
+    return q.query_set(PHRASE_SPECS)
+
+
 def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
 
@@ -1395,14 +1475,26 @@ def q_multimodal_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("frame_idx")).alias("sampled_frames"),
         )
     )
+    # absorbed pdf_extract_roundtrip gate (late r04, slot freed for
+    # phrase_positional_topk): the text→real-PDF→extracted-text
+    # round-trip columns ride along per id, so S2's PDF path stays
+    # hash-checked (oracle side: the ORIGINAL text)
+    pdf = q_pdf_extract_roundtrip(spark, sf_dir).select(
+        "id",
+        F.col("text").alias("pdf_text"),
+        F.col("n_pages").alias("pdf_n_pages"),
+        F.col("extract_ok").alias("pdf_ok"),
+    )
     return (
         meta.join(frames, "id", "left")
+        .join(pdf, "id", "left")
         .select(
             "id", "media_type", "width", "height", "n_frames",
             F.coalesce("stub_media_type", F.lit("none")).alias("stub_media_type"),
             F.coalesce(
                 "sampled_frames", F.array().cast("array<int>")
             ).alias("sampled_frames"),
+            "pdf_text", "pdf_n_pages", "pdf_ok",
         )
     )
 
@@ -2136,6 +2228,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      pdf_extract_roundtrip (S2 closed:
                                      text → real PDF binary → extracted
                                      text, oracle = original text).
+      * pdf_extract_roundtrip (late r04) -> multimodal_meta_real
+                                     (pdf_text / pdf_n_pages / pdf_ok
+                                     columns — the full extracted text
+                                     still hash-compares against the
+                                     original, so the PDF round-trip
+                                     keeps byte-exact coverage). Slot now
+                                     holds phrase_positional_topk
+                                     (operators/positional.py — phrase
+                                     search over a positional inverted
+                                     index; proximity variant pytest-only
+                                     in tests/test_positional.py).
 
     The 12 gates the r02 driver window missed lead the dict; every cut
     gate's callable remains tested in tests/ (see SURVEY.md §8)."""
@@ -2189,7 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "events_json_props": q_events_json_props,
         "rrf_fusion": q_rrf,
-        "pdf_extract_roundtrip": q_pdf_extract_roundtrip,
+        "phrase_positional_topk": q_phrase_positional,
         "multimodal_meta_real": q_multimodal_meta_real,
         "results_by_source": q_results_by_source,
         "phrase_citations": q_phrase_citations,
@@ -3113,12 +3216,15 @@ SELECT 'blend' AS method, combined_rank AS rank, id, norm_d AS aux_d,
     oracles["multimodal_meta_real"] = f"""
 SELECT m.id, m.media_type, m.width, m.height, m.n_frames,
        coalesce(f.stub_media_type, 'none') AS stub_media_type,
-       coalesce(f.sampled_frames, CAST([] AS INTEGER[])) AS sampled_frames
+       coalesce(f.sampled_frames, CAST([] AS INTEGER[])) AS sampled_frames,
+       p.text AS pdf_text, p.n_pages AS pdf_n_pages, p.extract_ok AS pdf_ok
 FROM ({oracles["multimodal_meta_real"]}) m
 LEFT JOIN (SELECT id, min(media_type) AS stub_media_type,
                   list_sort(list(frame_idx)) AS sampled_frames
            FROM ({oracles["multimodal_frame_sample"]}) GROUP BY 1) f ON f.id = m.id
+LEFT JOIN ({oracles["pdf_extract_roundtrip"]}) p ON p.id = m.id
 """
+    oracles["phrase_positional_topk"] = _phrase_sql(PHRASE_SPECS)
     # ---- round-4 new gates (the r03 pytest-only operator wave) ----
     oracles["trigram_search"] = f"""
 SELECT 'literal' AS method, doc_id FROM documents

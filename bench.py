@@ -95,6 +95,15 @@ def main() -> None:
     wwand = make_wand_topk(wi, wp, wm, block_span=64)
     wwand("warm merge query", 3, prune=True).collect()
     wwand.query_set([(0, "warm", 3), (1, "warm two", 3)], prune=True).collect()
+    from local_search_engine_spark.operators.positional import (
+        build_positional_postings as _bpp,
+        make_phrase_topk as _mpt,
+    )
+
+    _wpos = _bpp(mini, docs_per_shard=200, block_span=64, n_buckets=8)
+    _wq = _mpt(_wpos, block_span=64, n_buckets=8)
+    _wq.query_set([(0, "warm table", 3)]).collect()
+    _wq.near("warm table", 3, window=4).collect()
     D.exact_dedup_groups(mini, "text", "doc_id").count()
     D.minhash_lsh_pairs(mini, "text", "doc_id", n=3, bands=4, threshold=0.7).count()
     D.simhash_pairs(mini, "text", "doc_id", max_hamming=3, n_bands=4).count()
@@ -188,6 +197,33 @@ def main() -> None:
         lambda: wand("fast merge join query", 20, prune=True).collect(),
     )
     bench("bm25_wand_batch", lambda: wand.query_set(qset, prune=True).collect())
+
+    # --- positional index + phrase search (operators/positional.py) -----
+    from local_search_engine_spark.operators.positional import (
+        build_positional_postings,
+        make_phrase_topk,
+    )
+
+    pos = build_positional_postings(
+        docs, docs_per_shard=2000, block_span=256, n_buckets=16
+    )
+    bench("positional_index_build", lambda: pos.count())
+    pos_c = pos.cache()
+    pos_c.count()  # query benches read the cached index (contract: query
+    # cost over a BUILT index, same as the wand items)
+    pq = make_phrase_topk(pos_c, block_span=256, n_buckets=16)
+    phrase_set = [
+        (0, "table table", 20),
+        (1, "fast table", 20),
+        (2, "spark window", 20),
+        (3, "customer order line", 10),
+    ]
+    bench("phrase_batch_topk", lambda: pq.query_set(phrase_set).collect())
+    bench(
+        "phrase_proximity_topk",
+        lambda: pq.near("fast table", 20, window=4).collect(),
+    )
+    pos_c.unpersist()
 
     # --- training-data-pipeline operators -------------------------------
     bench("dedup_exact", lambda: D.exact_dedup_groups(docs, "text", "doc_id").count())

@@ -499,9 +499,37 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
     metrics: dict | None = None,
+    collapse_exact: bool = True,
+    expand_exact: bool = True,
 ):
     """MinHash + LSH banded candidate generation, then EXACT Jaccard
     verification of candidates only — the scale path for near-dedup.
+
+    collapse_exact (default True): EXACT-duplicate groups are collapsed
+    to one representative (min doc_id over a sha2 digest groupBy — a
+    linear pass) BEFORE signatures/banding, and verified rep pairs are
+    expanded back to member pairs afterwards. This is the web-scale
+    guard against the classic LSH failure mode this engine's own scale
+    curve caught: byte-identical boilerplate (here: the corpus
+    generator's TIE_DOC — 1/13 of every corpus) shares every band key,
+    so its bucket grows LINEARLY with corpus size and in-bucket pair
+    expansion grows QUADRATICALLY until the max_bucket_size cap drops
+    it entirely (observed at 20k docs: max_bucket_size_seen 1539,
+    dropped_pairs_ub 4.7M, zero surviving pairs). Collapsed, each
+    distinct content enters LSH once — bucket sizes track near-dup
+    DIVERSITY, not duplication multiplicity. Results are identical to
+    the uncollapsed path whenever no bucket overflows the cap (pinned
+    in tests); when a cap fires, the collapsed path finds MORE true
+    pairs (the cap applies to distinct contents, not copies).
+
+    expand_exact (default True): emit the full member-level pair set —
+    cross-group pairs inherit the reps' verified jaccard (identical
+    shingle sets ⇒ identical jaccard), intra-group pairs are jaccard
+    1.0 by construction. The intra listing is inherently
+    output-cardinality-bound (a g-member identical group IS g(g-1)/2
+    pairs); pipelines that only need clusters or keep/drop verdicts
+    should pass expand_exact=False and work in representative space —
+    that path's cost tracks distinct content, never duplication mass.
 
     Band key = csv of the band's signature values (built straight from
     the wide per-doc signature row — no per-perm explode/regroup
@@ -529,6 +557,26 @@ def minhash_lsh_pairs(
     from pyspark.sql import functions as F
 
     rows_per_band = N_PERMS // bands
+
+    members = None
+    if collapse_exact:
+        keyed = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_text"),
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_digest"),
+        )
+        reps = keyed.groupBy("_digest").agg(F.min("doc_id").alias("_rep"))
+        # membership map (doc_id -> its group's representative): one
+        # digest shuffle, linear, no per-group id lists materialized
+        members = keyed.select("doc_id", "_digest").join(reps, "_digest").select(
+            "doc_id", F.col("_rep").alias("rep")
+        )
+        docs = (
+            keyed.join(reps, "_digest")
+            .filter(F.col("doc_id") == F.col("_rep"))
+            .select(F.col("doc_id").alias(id_col), F.col("_text").alias(text_col))
+        )
+
     sets = (
         doc_shingle_sets(docs, text_col, id_col, n)
         .filter(F.size("shingles") > 0)
@@ -587,7 +635,7 @@ def minhash_lsh_pairs(
     va = sets.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
     vb = sets.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    verified = (
         cand.join(va, "a")
         .join(vb, "b")
         .withColumn(
@@ -598,6 +646,43 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    if not collapse_exact or not expand_exact:
+        return verified
+    # expand rep-space pairs back to member pairs. Cross-group: every
+    # (x ∈ grp(a), y ∈ grp(b)) pair carries the reps' jaccard (identical
+    # shingle sets ⇒ identical score). Intra-group: jaccard 1.0 by
+    # construction, emitted for every ≥2-member group whose content has
+    # a nonempty shingle set (parity with the uncollapsed path, where
+    # shingle-less docs never enter a bucket). Joins, not in-array
+    # lists — pair generation distributes and is output-bound only.
+    ma = members.select(F.col("rep").alias("a"), F.col("doc_id").alias("xa"))
+    mb = members.select(F.col("rep").alias("b"), F.col("doc_id").alias("xb"))
+    cross = (
+        verified.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.least("xa", "xb").alias("a"),
+            F.greatest("xa", "xb").alias("b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    shingled_reps = sets.select(F.col("doc_id").alias("rep"))
+    m1 = members.join(shingled_reps, "rep").select(
+        "rep", F.col("doc_id").alias("xa")
+    )
+    m2 = members.select("rep", F.col("doc_id").alias("xb"))
+    intra = (
+        m1.join(m2, "rep")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            F.col("xa").alias("a"),
+            F.col("xb").alias("b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_signatures(

@@ -1,0 +1,437 @@
+"""Positional postings + exact phrase / proximity search.
+
+The reference engine answers phrase queries by substring-scanning the
+stored document text at match time (reference retriever.py:1040-1072,
+`content.find(phrase)` over every candidate's full text — also the
+citation matcher at answer_generator.py:120-138). That works on one
+laptop's corpus; at 10^12 docs a phrase query must NOT touch document
+bodies. The classic answer — what Lucene/ES do — is a POSITIONAL
+inverted index: each posting carries the token positions, phrase
+matching is pure position-list intersection on the (tiny, compressed)
+index, and the corpus itself is never read at query time.
+
+Layout = the block-max postings layout (operators/postings.py) plus one
+column:
+
+  pos_vb: per (term, block) run, the concatenation of each posting's
+          delta+varbyte-encoded position list (first position absolute,
+          then diffs). tfs_vb already stores each posting's position
+          COUNT, so decoding needs no extra length table — tf IS the
+          segment length. Positions index the engine's FILTERED token
+          stream (functions/tokenize.py — the same rule at index and
+          query time), the standard analyzer-relative convention.
+
+Same scale story as the base index: doc-range sharding bounds the
+per-task work for hot terms, term_bucket is the Parquet partition
+column so a phrase's scan prunes to ≤ |unique terms| bucket
+directories, and query-time work is one bucket-pruned scan → one
+shuffle on part_id → per-shard numpy intersection → global top-k
+(TakeOrderedAndProject).
+
+Phrase matching per shard is FULLY vectorized — no per-candidate-doc
+Python loop: occurrences of the phrase [t0..t_{L-1}] are the
+intersection of composite keys
+
+    key_i = doc_id · 2^32 + (pos - i + L)        (term t_i)
+
+i.e. every (doc, start-position) that term t_i supports, normalized to
+the phrase start. `+ L` keeps the low word non-negative (pos ≥ 0,
+i < L) so the composite never borrows into the doc word; positions are
+< 2^32 by the tokenizer's construction (a single document's token
+stream). np.intersect1d over sorted uint64 keys is the whole matcher.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from ..functions.tokenize import tokenize_py
+
+POS_POSTINGS_SCHEMA = (
+    "term string, term_bucket int, part_id long, block_id long, n int, "
+    "first_doc_id long, last_doc_id long, doc_ids_vb binary, tfs_vb binary, "
+    "pos_vb binary"
+)
+
+_DOC_SHIFT = np.uint64(32)
+
+
+def decode_positions(pos_vb: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of the per-posting delta encoding: concatenated varbyte
+    deltas + per-posting lengths (= tfs) → flat absolute positions.
+    Segmented cumsum, no Python loop."""
+    from ..functions.codec import decode_vb
+
+    deltas = decode_vb(pos_vb).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    csum = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]))
+    # subtract the running total as of each segment's start so cumsum
+    # restarts per posting (first delta of a posting is the absolute pos)
+    base = np.repeat(csum[starts] - deltas[starts], np.asarray(tfs, dtype=np.int64))
+    return csum - base
+
+
+def tokenize_with_positions(tokens: list[str]) -> dict[str, list[int]]:
+    """term -> sorted positions in the filtered token stream."""
+    out: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        out.setdefault(t, []).append(i)
+    return out
+
+
+def build_positional_postings(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    docs_per_shard: int = 50_000,
+    block_span: int | None = None,
+    n_buckets: int = 64,
+    tokenizer: Callable[[str], list[str]] = tokenize_py,
+):
+    """docs(id, text) → positional postings DF (POS_POSTINGS_SCHEMA).
+
+    Two stages, mirroring operators/postings.build_postings:
+
+      1. Arrow mapInPandas over the doc scan → one row per (doc, term)
+         carrying tf and the posting's pre-encoded position bytes. The
+         per-doc term→positions grouping is genuinely not expressible
+         with JVM built-ins (no in-array group-by), so this is the W1
+         Arrow seam — batch-vectorized (one encode_vb_sliced call per
+         Arrow batch), never per-row Python encode. Pre-encoding here
+         means the shuffle moves compressed bytes, not int arrays.
+      2. groupBy(term_bucket, part_id).applyInPandas → identical run
+         detection to the base encoder; pos_vb per run is a plain byte
+         concatenation because per-posting streams are self-delimiting
+         (tf = value count).
+
+    One shuffle total, bounded per-task work for hot terms (doc-range
+    sharding), term_bucket ready for partitionBy on persist.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..functions.codec import DEFAULT_BLOCK_SPAN
+    from ..functions.hashing import h32_col
+
+    span = block_span or DEFAULT_BLOCK_SPAN
+
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"build_positional_postings needs an integral {id_col!r} column "
+            f"(doc-range sharding and the composite phrase keys are id "
+            f"arithmetic), got {id_type.simpleString()}; assign dense ids "
+            f"first (operators.build.with_doc_ids)"
+        )
+
+    def extract(batches):
+        import pandas as pd
+
+        from ..functions.codec import encode_vb_sliced
+
+        for pdf in batches:
+            ids: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            flat: list[int] = []
+            run_starts: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenizer(text if text is not None else "")
+                if not toks:
+                    continue
+                by_term = tokenize_with_positions(toks)
+                for term in sorted(by_term):
+                    pos = by_term[term]
+                    ids.append(int(doc_id))
+                    terms.append(term)
+                    tfs.append(len(pos))
+                    run_starts.append(len(flat))
+                    flat.append(pos[0])
+                    flat.extend(pos[j] - pos[j - 1] for j in range(1, len(pos)))
+            if not ids:
+                continue
+            pos_vbs = encode_vb_sliced(
+                np.asarray(flat, dtype=np.uint64),
+                np.asarray(run_starts, dtype=np.int64),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "term": terms,
+                    "tf": pd.Series(tfs, dtype="int64"),
+                    "posting_pos_vb": pos_vbs,
+                }
+            )
+
+    per_posting = docs.select(id_col, text_col).mapInPandas(
+        extract, "doc_id long, term string, tf long, posting_pos_vb binary"
+    )
+    keyed = per_posting.withColumn(
+        "part_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
+    ).withColumn(
+        "term_bucket", F.pmod(h32_col(F.col("term")), F.lit(n_buckets)).cast("int")
+    )
+
+    def encode_group(pdf):
+        import pandas as pd
+
+        from ..functions.codec import encode_vb_sliced
+
+        cols = [
+            "term", "term_bucket", "part_id", "block_id", "n",
+            "first_doc_id", "last_doc_id", "doc_ids_vb", "tfs_vb", "pos_vb",
+        ]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values(["term", "doc_id"])
+        # composite phrase keys are doc_id·2^32 + pos in (u)int64 — ids
+        # must fit 31 bits for the proximity path's signed arithmetic.
+        # Dense engine ids (operators.build.with_doc_ids) always do;
+        # sparse schemes (monotonically_increasing_id packs the
+        # partition id into bits 33+) would silently corrupt matches,
+        # so fail the build loudly instead.
+        if int(pdf["doc_id"].max()) >= 1 << 31:
+            raise ValueError(
+                "positional postings require doc_id < 2^31 (composite "
+                "phrase-key arithmetic); re-id the corpus with dense ids "
+                "(operators.build.with_doc_ids) before indexing"
+            )
+        bucket = int(pdf["term_bucket"].iloc[0])
+        part = int(pdf["part_id"].iloc[0])
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        pos_bytes = pdf["posting_pos_vb"].to_numpy(object)
+        block_ids = doc_ids // span
+        n = doc_ids.size
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (terms[1:] != terms[:-1]) | (block_ids[1:] != block_ids[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], n)
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[0] = 0
+        deltas[1:] = np.diff(doc_ids)
+        deltas[run_starts] = doc_ids[run_starts] - block_ids[run_starts] * span
+        doc_vbs = encode_vb_sliced(deltas.astype(np.uint64), run_starts)
+        tf_vbs = encode_vb_sliced(tfs.astype(np.uint64), run_starts)
+        pos_vbs = [
+            b"".join(pos_bytes[s:e]) for s, e in zip(run_starts, run_ends)
+        ]
+        return pd.DataFrame(
+            {
+                "term": terms[run_starts],
+                "term_bucket": bucket,
+                "part_id": part,
+                "block_id": block_ids[run_starts],
+                "n": (run_ends - run_starts).astype(np.int32),
+                "first_doc_id": doc_ids[run_starts],
+                "last_doc_id": doc_ids[run_ends - 1],
+                "doc_ids_vb": doc_vbs,
+                "tfs_vb": tf_vbs,
+                "pos_vb": pos_vbs,
+            },
+            columns=cols,
+        )
+
+    return keyed.groupBy("term_bucket", "part_id").applyInPandas(
+        encode_group, POS_POSTINGS_SCHEMA
+    )
+
+
+def persist_positional_postings(postings, path: str) -> None:
+    """Bucket-partitioned parquet: a phrase query's `term_bucket IN (...)`
+    literals (driver-computed, zero jobs) prune whole directories —
+    same layout contract as the persisted BM25 index and ANN files."""
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+
+
+def load_positional_postings(spark, path: str):
+    return spark.read.parquet(path)
+
+
+def _shard_term_arrays(posts_pdf, span: int):
+    """Per term: (doc_rep uint64, pos int64) flat pairs for the whole
+    shard, built by decoding each (term, block) run and concatenating in
+    block order (runs are disjoint ascending doc ranges)."""
+    from ..functions.codec import decode_block
+
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term, grp in posts_pdf.groupby("term", sort=False):
+        grp = grp.sort_values("block_id")
+        doc_parts, pos_parts = [], []
+        for row in grp.itertuples(index=False):
+            d, tf = decode_block(row.doc_ids_vb, row.tfs_vb, int(row.block_id) * span)
+            pos = decode_positions(row.pos_vb, tf)
+            doc_parts.append(np.repeat(d, tf))
+            pos_parts.append(pos)
+        out[term] = (
+            np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64),
+            np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64),
+        )
+    return out
+
+
+def phrase_occurrences(term_arrays, q_terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, phrase_tf) of exact-phrase occurrences, fully
+    vectorized: intersect composite (doc, normalized-start) keys across
+    the phrase's terms (module docstring)."""
+    L = len(q_terms)
+    keys = None
+    for i, t in enumerate(q_terms):
+        if t not in term_arrays:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, pos = term_arrays[t]
+        k = (docs.astype(np.uint64) << _DOC_SHIFT) + (pos - i + L).astype(np.uint64)
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    match_docs = (keys >> _DOC_SHIFT).astype(np.int64)
+    uniq, counts = np.unique(match_docs, return_counts=True)
+    return uniq, counts.astype(np.int64)
+
+
+def proximity_docs(
+    term_arrays, q_terms: list[str], window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, n_anchors): docs where every query term occurs within
+    ±window tokens of some occurrence of the FIRST term (the anchor);
+    n_anchors counts the anchoring positions. searchsorted range-exists
+    per term over the candidate docs' position slices — work is bounded
+    by the anchor term's postings in the shard, never the corpus."""
+    uniq_terms = list(dict.fromkeys(q_terms))
+    for t in uniq_terms:
+        if t not in term_arrays:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    a_docs, a_pos = term_arrays[uniq_terms[0]]
+    ok = np.ones(a_pos.size, dtype=bool)
+    for t in uniq_terms[1:]:
+        docs, pos = term_arrays[t]
+        # composite keys make per-doc ranges globally comparable
+        tkeys = docs.astype(np.int64) * np.int64(1 << 32) + pos
+        lo = a_docs.astype(np.int64) * np.int64(1 << 32) + (a_pos - window)
+        hi = a_docs.astype(np.int64) * np.int64(1 << 32) + (a_pos + window)
+        # positions are << 2^31 so the ±window arithmetic stays inside
+        # the anchor doc's key range
+        left = np.searchsorted(tkeys, lo, side="left")
+        right = np.searchsorted(tkeys, hi, side="right")
+        ok &= right > left
+    hit_docs = a_docs[ok]
+    uniq, counts = np.unique(hit_docs, return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int64)
+
+
+def make_phrase_topk(
+    postings,
+    block_span: int | None = None,
+    n_buckets: int | None = None,
+    tokenizer: Callable[[str], list[str]] = tokenize_py,
+):
+    """Bind a positional index to phrase/proximity query functions.
+
+    query(text, k)            → DataFrame(rank, doc_id, phrase_tf)
+    query.query_set([(id, text, k)]) → DataFrame(phrase_id, rank, doc_id, phrase_tf)
+    query.near(text, k, window)      → DataFrame(rank, doc_id, n_anchors)
+
+    Plan per call: bucket-pruned postings scan (term IN pushed; on a
+    persisted index term_bucket literals prune directories) → one
+    groupBy(part_id) shuffle → per-shard numpy phrase intersection →
+    TakeOrderedAndProject top-k. Document text is never read.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.codec import DEFAULT_BLOCK_SPAN
+
+    span = block_span or DEFAULT_BLOCK_SPAN
+    spark = postings.sparkSession
+
+    def _scan(all_terms: list[str]):
+        scan = postings
+        if n_buckets and "term_bucket" in postings.columns:
+            from ..functions.hashing import h32_py
+
+            buckets = sorted({h32_py(t) % n_buckets for t in all_terms})
+            scan = scan.filter(F.col("term_bucket").isin(buckets))
+        return scan.filter(F.col("term").isin(sorted(set(all_terms))))
+
+    def query_set(phrases, window: int | None = None):
+        """All phrases in ONE plan (one scan, one shuffle), same
+        amortization as wand.query_set. phrases: [(phrase_id, text, k)].
+        window=None → exact phrase; window=w → proximity match."""
+        specs = []
+        for pid, text, k in phrases:
+            q_terms = tokenizer(text)
+            if q_terms and k > 0:
+                specs.append((int(pid), q_terms, int(k)))
+        count_col = "phrase_tf" if window is None else "n_anchors"
+        out_schema = f"phrase_id int, doc_id long, {count_col} long"
+        if not specs:
+            return spark.createDataFrame(
+                [], f"phrase_id int, rank int, doc_id long, {count_col} long"
+            )
+        all_terms = sorted({t for _, q, _ in specs for t in q})
+
+        def match_fn(pdf):
+            import pandas as pd
+
+            if pdf.empty:
+                return pd.DataFrame(
+                    {
+                        "phrase_id": pd.Series(dtype="int32"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        count_col: pd.Series(dtype="int64"),
+                    }
+                )
+            arrays = _shard_term_arrays(pdf, span)
+            out_p, out_d, out_c = [], [], []
+            for pid, q_terms, _k in specs:
+                if window is None:
+                    docs, counts = phrase_occurrences(arrays, q_terms)
+                else:
+                    docs, counts = proximity_docs(arrays, q_terms, window)
+                out_p.extend([pid] * docs.size)
+                out_d.extend(docs.tolist())
+                out_c.extend(counts.tolist())
+            return pd.DataFrame(
+                {
+                    "phrase_id": pd.Series(out_p, dtype="int32"),
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    count_col: pd.Series(out_c, dtype="int64"),
+                }
+            )
+
+        per_shard = (
+            _scan(all_terms)
+            .groupBy("part_id")
+            .applyInPandas(match_fn, out_schema)
+        )
+        kmap = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(p) for p, _, _ in specs]),
+                F.array(*[F.lit(k) for _, _, k in specs]),
+            ),
+            F.col("phrase_id"),
+        )
+        w = Window.partitionBy("phrase_id").orderBy(
+            F.desc(count_col), F.asc("doc_id")
+        )
+        return (
+            per_shard.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kmap)
+            .select("phrase_id", "rank", "doc_id", count_col)
+        )
+
+    def query(text: str, k: int):
+        return query_set([(0, text, k)]).drop("phrase_id")
+
+    def near(text: str, k: int, window: int):
+        return query_set([(0, text, k)], window=window).drop("phrase_id")
+
+    query.query_set = query_set
+    query.near = near
+    return query

@@ -25,8 +25,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def time_minhash(spark, docs, reps: int):
-    """Warmup + min-of-reps for minhash_lsh_pairs; returns (times, metrics)."""
+def time_minhash(spark, docs, reps: int, collapse: bool = True):
+    """Warmup + min-of-reps for minhash_lsh_pairs; returns (times, metrics).
+    collapse=False is the legacy (pre-collapse-exact) arm, kept so the
+    before/after comparison runs under IDENTICAL conditions in one
+    process."""
     from local_search_engine_spark.operators.dedup import minhash_lsh_pairs
 
     times, metrics_out = [], {}
@@ -34,7 +37,8 @@ def time_minhash(spark, docs, reps: int):
         metrics: dict = {}
         t0 = time.monotonic()
         pairs = minhash_lsh_pairs(
-            docs, text_col="content", id_col="path", metrics=metrics
+            docs, text_col="content", id_col="path", metrics=metrics,
+            collapse_exact=collapse,
         )
         n_pairs = pairs.count()
         dt = time.monotonic() - t0
@@ -45,6 +49,30 @@ def time_minhash(spark, docs, reps: int):
             times.append(round(dt, 2))
             metrics_out = {"n_pairs": n_pairs, **{k: int(v) for k, v in obs.items()}}
     return times, metrics_out
+
+
+def time_minhash_reps_only(spark, docs, reps: int):
+    """The representative-space scale path (expand_exact=False): cost
+    tracks distinct content, never duplication mass — this is the curve
+    the near-linear claim rides on; the expanded default's extra wall is
+    output cardinality (the intra-group pair listing), reported
+    alongside."""
+    from local_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    times, n_out = [], 0
+    for rep in range(reps + 1):
+        metrics: dict = {}
+        t0 = time.monotonic()
+        n_out = minhash_lsh_pairs(
+            docs, text_col="content", id_col="path",
+            metrics=metrics, expand_exact=False,
+        ).count()
+        dt = time.monotonic() - t0
+        metrics["shingle_sets"].unpersist()
+        spark.catalog.clearCache()
+        if rep > 0:
+            times.append(round(dt, 2))
+    return times, n_out
 
 
 def time_simple(spark, fn, reps: int):
@@ -75,11 +103,31 @@ def main() -> None:
     from local_search_engine_spark.sources.corpus import gen_corpus_spark
 
     spark = get_spark("scale-curve")
-    out = {"protocol": "BENCH/BASELINE.md §7: per-size warmup + min-of-%d, caches dropped between reps" % args.reps, "points": []}
+    out = {
+        "protocol": (
+            "BENCH/BASELINE.md §7/§10: corpus WRITTEN TO PARQUET per size and "
+            "re-scanned by every rep (the realistic input shape — earlier "
+            "revisions cached the Python-generated corpus, and the "
+            "clearCache() between reps silently made later reps time corpus "
+            "REGENERATION, not the operator); per-size warmup + min-of-%d; "
+            "legacy arm = collapse_exact=False, same process/same input"
+            % args.reps
+        ),
+        "points": [],
+    }
+    import shutil
+    import tempfile
+
+    corpus_root = tempfile.mkdtemp(prefix="scale-curve-corpus-")
     for n in sizes:
-        docs = gen_corpus_spark(spark, n).cache()
-        docs.count()
+        cdir = os.path.join(corpus_root, f"n{n}")
+        gen_corpus_spark(spark, n).write.mode("overwrite").parquet(cdir)
+        docs = spark.read.parquet(cdir)
+        mh_legacy_times, mh_legacy_metrics = time_minhash(
+            spark, docs, args.reps, collapse=False
+        )
         mh_times, mh_metrics = time_minhash(spark, docs, args.reps)
+        repspace_times, repspace_npairs = time_minhash_reps_only(spark, docs, args.reps)
         ex_times = time_simple(
             spark,
             lambda: exact_dedup_groups(docs, text_col="content", id_col="path").count(),
@@ -98,6 +146,12 @@ def main() -> None:
             "minhash_reps": mh_times,
             "minhash_docs_per_s": round(n / min(mh_times)),
             "lsh_metrics": mh_metrics,
+            "minhash_legacy_s": min(mh_legacy_times),
+            "minhash_legacy_reps": mh_legacy_times,
+            "legacy_lsh_metrics": mh_legacy_metrics,
+            "minhash_repspace_s": min(repspace_times),
+            "minhash_repspace_reps": repspace_times,
+            "minhash_repspace_pairs": repspace_npairs,
             "exact_dedup_s": min(ex_times),
             "exact_reps": ex_times,
             "repetition_s": min(rep_times),
@@ -105,8 +159,8 @@ def main() -> None:
         }
         out["points"].append(point)
         print(json.dumps(point))
-        docs.unpersist()
         spark.catalog.clearCache()
+        shutil.rmtree(cdir, ignore_errors=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")

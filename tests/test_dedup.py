@@ -96,8 +96,11 @@ def test_minhash_lsh_metrics_observed(spark):
 
     docs = _corpus(spark)
     metrics: dict = {}
+    # collapse_exact=False: this test pins the CAP mechanism itself, so
+    # it must see raw (uncollapsed) bucket sizes overflow
     pairs = D.minhash_lsh_pairs(
-        docs, threshold=0.5, max_bucket_size=2, metrics=metrics
+        docs, threshold=0.5, max_bucket_size=2, metrics=metrics,
+        collapse_exact=False,
     )
     sc = spark.sparkContext
     sc.setJobGroup("lsh-run", "metrics probe")
@@ -224,20 +227,96 @@ def test_signature_plans_have_zero_shuffle(spark):
 
 
 def test_minhash_lsh_only_shuffles_buckets(spark):
-    """The full LSH pipeline's only corpus-sized shuffle is the
+    """The core LSH pipeline's only corpus-sized shuffle is the
     (band, band_key) bucket groupBy; candidate-pair expansion and exact
     verification add at most two more small exchanges (pair distinct +
     verify joins under AQE). Pin an upper bound so an exploded-relation
-    shuffle can't silently come back."""
+    shuffle can't silently come back. (collapse_exact=False isolates
+    the core topology; the default collapse adds one linear digest
+    groupBy + member-map joins, bounded separately below.)"""
     docs = _corpus(spark, 60)
     plan = (
-        D.minhash_lsh_pairs(docs, threshold=0.5)
+        D.minhash_lsh_pairs(docs, threshold=0.5, collapse_exact=False)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert n_exchanges <= 5, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_minhash_collapse_matches_uncollapsed(spark):
+    """Default collapse-exact-first path ≡ the uncollapsed path whenever
+    no bucket overflows the cap (the sf0.001 corpus, default cap); and
+    with a cap tight enough to drop the raw duplicate bucket, the
+    collapsed path still finds every pair the capped raw path found
+    (it can only find MORE — the cap applies to distinct contents)."""
+    docs = _corpus(spark)
+    legacy = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, collapse_exact=False
+        ).collect()
+    }
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(got) == set(legacy)
+    for k, v in got.items():
+        assert abs(v - legacy[k]) < 1e-12
+    assert legacy, "fixture produced no pairs — test is vacuous"
+    capped_raw = {
+        (r["a"], r["b"])
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket_size=2, collapse_exact=False
+        ).collect()
+    }
+    capped_collapsed = {
+        (r["a"], r["b"])
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket_size=2
+        ).collect()
+    }
+    assert capped_raw <= capped_collapsed
+
+
+def test_minhash_rep_space_path(spark):
+    """expand_exact=False returns pairs over exact-group representatives
+    only — each pair present in the full result, no pair between two
+    members of one exact group, and every full-result pair maps to a
+    rep pair under the min-doc_id representative function."""
+    from pyspark.sql import functions as F
+
+    docs = _corpus(spark)
+    rep_pairs = {
+        (r["a"], r["b"])
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, expand_exact=False
+        ).collect()
+    }
+    full = {
+        (r["a"], r["b"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert rep_pairs <= full
+    rep_of = {
+        r["doc_id"]: r["rep"]
+        for r in docs.select(
+            "doc_id",
+            F.sha2(F.coalesce("text", F.lit("")), 256).alias("dg"),
+        )
+        .join(
+            docs.groupBy(F.sha2(F.coalesce("text", F.lit("")), 256).alias("dg"))
+            .agg(F.min("doc_id").alias("rep")),
+            "dg",
+        )
+        .collect()
+    }
+    for a, b in full:
+        ra, rb = rep_of[a], rep_of[b]
+        if ra != rb:
+            assert (min(ra, rb), max(ra, rb)) in rep_pairs, (a, b)
 
 
 def test_minhash_wide_matches_grouped_bruteforce(spark):
