@@ -8,6 +8,7 @@ engine's operators.
   python scripts/code_search.py related --corpus DIR --file 'org0/repo1:src/mod5/file_56.py'
   python scripts/code_search.py suggest --bm25-index IDX_DIR --prefix mer
   python scripts/code_search.py search  --corpus DIR --index ROOT --query 'merge shards fast'
+  python scripts/code_search.py phrase  --corpus DIR --index ROOT --query 'merge batch' [--near 4]
 
 `index` persists the trigram inverted file plus a corpus fingerprint;
 `grep` uses the index when given (bucket-pruned candidate AND + exact
@@ -41,7 +42,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from local_search_engine_spark.session import get_spark
 from local_search_engine_spark.sources.corpus import read_corpus
 
-FINGERPRINT_FILE = "corpus_fingerprint.json"
+# underscore prefix: Spark's parquet file listing ignores _-prefixed
+# files (same convention as _SUCCESS), so the sidecar can live inside a
+# partitioned index directory without breaking schema inference
+FINGERPRINT_FILE = "_corpus_fingerprint.json"
 
 
 def _with_file(corpus):
@@ -202,10 +206,85 @@ def cmd_search(spark, corpus, args) -> dict:
     }
 
 
+def cmd_phrase(spark, corpus, args) -> dict:
+    """Exact-phrase (or --near W proximity) top-k over the POSITIONAL
+    index (operators/positional.py) — index-only matching, document text
+    is never read at query time. With --index ROOT the positional
+    postings persist under ROOT/pos (bucket-partitioned, scan-time
+    directory pruning) keyed by the corpus fingerprint: a stale or
+    missing index is rebuilt, never silently reused."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.build import with_doc_ids
+    from local_search_engine_spark.operators.positional import (
+        build_positional_postings,
+        load_positional_postings,
+        make_phrase_topk,
+        persist_positional_postings,
+    )
+
+    n_buckets = 16
+    docs = _with_file(corpus)
+    built = False
+    if args.index:
+        pos_dir = os.path.join(args.index, "pos")
+        ids_dir = os.path.join(args.index, "pos_ids")
+        fp_path = os.path.join(pos_dir, FINGERPRINT_FILE)
+        expected = None
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                expected = json.load(f)
+        if expected != _corpus_fingerprint(docs):
+            ids = with_doc_ids(docs).select("doc_id", "file", "content")
+            persist_positional_postings(
+                build_positional_postings(
+                    ids, text_col="content", n_buckets=n_buckets
+                ),
+                pos_dir,
+            )
+            ids.select("doc_id", "file").write.mode("overwrite").parquet(ids_dir)
+            _write_fingerprint(docs, pos_dir)
+            built = True
+        postings = load_positional_postings(spark, pos_dir)
+        idmap = spark.read.parquet(ids_dir)
+    else:
+        ids = with_doc_ids(docs).select("doc_id", "file", "content")
+        postings = build_positional_postings(
+            ids, text_col="content", n_buckets=n_buckets
+        )
+        idmap = ids.select("doc_id", "file")
+    q = make_phrase_topk(postings, n_buckets=n_buckets)
+    if args.near is not None:
+        res = q.near(args.query, args.k, window=args.near)
+        count_col = "n_anchors"
+    else:
+        res = q(args.query, args.k)
+        count_col = "phrase_tf"
+    # k-row result broadcast against the id map — the map never shuffles
+    rows = (
+        idmap.join(F.broadcast(res), "doc_id")
+        .orderBy("rank")
+        .select("rank", "file", count_col)
+        .collect()
+    )
+    return {
+        "cmd": "phrase",
+        "query": args.query,
+        "near": args.near,
+        "built_index": built,
+        "persisted": bool(args.index),
+        "results": [
+            {"rank": int(r["rank"]), "file": r["file"], count_col: int(r[count_col])}
+            for r in rows
+        ],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "cmd", choices=["index", "grep", "def", "related", "suggest", "search"]
+        "cmd",
+        choices=["index", "grep", "def", "related", "suggest", "search", "phrase"],
     )
     ap.add_argument("--corpus")
     ap.add_argument("--format", default="parquet")
@@ -218,6 +297,8 @@ def main() -> None:
     ap.add_argument("--file")
     ap.add_argument("--prefix")
     ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--near", type=int, default=None,
+                    help="proximity window for `phrase` (tokens, ±)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -284,6 +365,10 @@ def main() -> None:
                           "wall_sec": round(time.time() - t0, 2)}))
     elif args.cmd == "search":
         out = cmd_search(spark, corpus, args)
+        out["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
+    elif args.cmd == "phrase":
+        out = cmd_phrase(spark, corpus, args)
         out["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(out))
     else:  # suggest

@@ -119,3 +119,47 @@ def test_cli_search_composed_and_stale_grep(spark, tmp_path):
     grown = _with_file(gen_corpus_spark(spark, 140, partitions=4))
     idx_df2, stale2 = _load_fresh_index(spark, tri_dir, grown)
     assert idx_df2 is None and stale2
+
+
+def test_cli_phrase_subcommand(spark, tmp_path):
+    """`phrase` subcommand: positional-index phrase search end to end —
+    first call builds ROOT/pos (fingerprint-keyed), second call reuses
+    it with identical results; --near drives the proximity variant; the
+    reported files actually contain the adjacent token pair."""
+    import argparse
+
+    from scripts.code_search import cmd_phrase
+
+    from local_search_engine_spark.functions.tokenize import tokenize_py
+
+    corpus = gen_corpus_spark(spark, 120, partitions=4)
+    root = str(tmp_path / "root")
+    args = argparse.Namespace(query="self return", index=root, k=5, near=None)
+    out = cmd_phrase(spark, corpus, args)
+    assert out["built_index"] is True and out["results"]
+    assert [r["rank"] for r in out["results"]] == list(
+        range(1, len(out["results"]) + 1)
+    )
+    # ground-truth the top hit against the raw text
+    by_file = {
+        r["file"]: r["content"]
+        for r in corpus.selectExpr(
+            "concat_ws(':', repo, path) AS file", "content"
+        ).collect()
+    }
+    for r in out["results"]:
+        toks = tokenize_py(by_file[r["file"]])
+        n = sum(
+            1 for a, b in zip(toks, toks[1:]) if (a, b) == ("self", "return")
+        )
+        assert n == r["phrase_tf"], r
+
+    out2 = cmd_phrase(spark, corpus, args)
+    assert out2["built_index"] is False
+    assert out2["results"] == out["results"]
+
+    near_args = argparse.Namespace(
+        query="self return", index=root, k=5, near=3
+    )
+    out3 = cmd_phrase(spark, corpus, near_args)
+    assert out3["results"] and all("n_anchors" in r for r in out3["results"])
