@@ -170,6 +170,11 @@ def main() -> None:
         )
     summary = {
         "metric": "index_build_scaling_efficiency",
+        "protocol": (
+            "BENCH/BASELINE.md §9: warmup build per fresh-JVM level, "
+            "min-of-reps (all reps in all_walls_sec), "
+            "local-cluster[N,cores,mem] real executor JVMs"
+        ),
         "rows": args.rows,
         "levels": results,
         "pairs": pairs,
@@ -178,6 +183,7 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=1)
+        f.write("\n")
 
 
 if __name__ == "__main__":
