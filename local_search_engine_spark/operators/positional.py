@@ -243,15 +243,102 @@ def build_positional_postings(
     )
 
 
-def persist_positional_postings(postings, path: str) -> None:
+def persist_positional_postings(
+    postings, path: str, params: dict | None = None
+) -> None:
     """Bucket-partitioned parquet: a phrase query's `term_bucket IN (...)`
     literals (driver-computed, zero jobs) prune whole directories —
-    same layout contract as the persisted BM25 index and ANN files."""
+    same layout contract as the persisted BM25 index and ANN files.
+
+    params (recommended): {'docs_per_shard', 'block_span', 'n_buckets'}
+    — persisted to _meta.json (underscore-prefixed: invisible to the
+    parquet file listing) together with max_doc_id, which makes the
+    index APPENDABLE (append_positional_postings) and lets loaders
+    recover the layout without out-of-band knowledge."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
     postings.write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+    if params is not None:
+        written = postings.sparkSession.read.parquet(path)
+        mx = written.agg(F.max("last_doc_id").alias("m")).first()["m"]
+        meta = dict(params)
+        meta["max_doc_id"] = int(mx) if mx is not None else -1
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            json.dump(meta, f)
 
 
 def load_positional_postings(spark, path: str):
     return spark.read.parquet(path)
+
+
+def load_positional_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, "_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def append_positional_postings(
+    spark,
+    path: str,
+    new_docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: Callable[[str], list[str]] = tokenize_py,
+) -> dict:
+    """Incrementally extend a persisted positional index with a TAIL
+    batch (all new doc_ids strictly greater than the stored max — the
+    same contract as log-structured id assignment). Doc-range sharding
+    makes this sound WITHOUT touching existing files: a new id range
+    can only create new (bucket, shard) parquet rows, and the one
+    possibly-shared seam block is handled at read time by the
+    (block_id, first_doc_id) run ordering. Encoding parameters come
+    from the index's own _meta.json, so an append can never silently
+    mix layouts. Returns the updated meta. Query results over the
+    appended index are bit-identical to a full rebuild
+    (tests/test_positional.py pins it)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    meta = load_positional_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"{path} has no _meta.json — persist with params= to make an "
+            f"index appendable"
+        )
+    lo = new_docs.agg(F.min(id_col).alias("lo")).first()["lo"]
+    if lo is None:
+        return meta  # empty batch
+    if int(lo) <= meta["max_doc_id"]:
+        raise ValueError(
+            f"append batch min {id_col}={lo} <= stored max_doc_id="
+            f"{meta['max_doc_id']}: appends must be strictly tailing "
+            f"(in-range inserts would interleave existing shard runs)"
+        )
+    delta = build_positional_postings(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        docs_per_shard=meta["docs_per_shard"],
+        block_span=meta["block_span"],
+        n_buckets=meta["n_buckets"],
+        tokenizer=tokenizer,
+    )
+    delta.write.mode("append").partitionBy("term_bucket").parquet(path)
+    mx = new_docs.agg(F.max(id_col).alias("m")).first()["m"]
+    meta["max_doc_id"] = int(mx)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
 
 
 def _shard_term_arrays(posts_pdf, span: int):
@@ -262,7 +349,11 @@ def _shard_term_arrays(posts_pdf, span: int):
 
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, grp in posts_pdf.groupby("term", sort=False):
-        grp = grp.sort_values("block_id")
+        # (block_id, first_doc_id): after an append, the seam block can
+        # hold TWO runs of one term (old range + appended tail) — the
+        # tiebreak keeps concatenation ascending in doc_id, which the
+        # proximity searchsorted path requires
+        grp = grp.sort_values(["block_id", "first_doc_id"])
         doc_parts, pos_parts = [], []
         for row in grp.itertuples(index=False):
             d, tf = decode_block(row.doc_ids_vb, row.tfs_vb, int(row.block_id) * span)

@@ -184,6 +184,51 @@ def test_kernel_edges():
     assert d.size == 0
 
 
+def test_append_equals_full_rebuild(spark, tmp_path):
+    """Tail-append to a persisted positional index ≡ a full rebuild over
+    the whole corpus — for exact phrase AND proximity, including phrases
+    matching across the seam block; non-tailing appends are refused."""
+    import pytest
+
+    from local_search_engine_spark.operators.positional import (
+        append_positional_postings,
+        load_positional_meta,
+    )
+
+    rows = _gen_rows(60, seed=13)
+    base, tail = rows[:40], rows[40:]
+    params = {"docs_per_shard": 16, "block_span": 8, "n_buckets": 8}
+    path = str(tmp_path / "pos_idx")
+    persist_positional_postings(
+        build_positional_postings(spark.createDataFrame(base, "doc_id long, text string"), **params),
+        path,
+        params=params,
+    )
+    meta = append_positional_postings(
+        spark, path, spark.createDataFrame(tail, "doc_id long, text string")
+    )
+    assert meta["max_doc_id"] == max(d for d, _ in tail)
+    appended = load_positional_postings(spark, path)
+    rebuilt = build_positional_postings(
+        spark.createDataFrame(rows, "doc_id long, text string"), **params
+    )
+    qa = make_phrase_topk(appended, block_span=8, n_buckets=8)
+    qr = make_phrase_topk(rebuilt, block_span=8, n_buckets=8)
+    for phrase in PHRASES:
+        assert sorted(map(tuple, qa(phrase, 100).collect())) == sorted(
+            map(tuple, qr(phrase, 100).collect())
+        ), phrase
+    assert sorted(map(tuple, qa.near("table scan", 100, 3).collect())) == sorted(
+        map(tuple, qr.near("table scan", 100, 3).collect())
+    )
+    # in-range insert refused (would interleave existing runs)
+    with pytest.raises(ValueError, match="strictly tailing"):
+        append_positional_postings(
+            spark, path, spark.createDataFrame([(5, "table scan")], "doc_id long, text string")
+        )
+    assert load_positional_meta(path)["max_doc_id"] == meta["max_doc_id"]
+
+
 def test_persisted_index_prunes_and_agrees(spark, tmp_path):
     rows = _gen_rows(40, seed=9)
     docs = spark.createDataFrame(rows, "doc_id long, text string")
