@@ -480,11 +480,19 @@ def make_phrase_topk(
                 )
             arrays = _shard_term_arrays(pdf, span)
             out_p, out_d, out_c = [], [], []
-            for pid, q_terms, _k in specs:
+            for pid, q_terms, k in specs:
                 if window is None:
                     docs, counts = phrase_occurrences(arrays, q_terms)
                 else:
                     docs, counts = proximity_docs(arrays, q_terms, window)
+                if docs.size > k:
+                    # per-shard k-cap (the WAND heap's role here): the
+                    # global top-k is a subset of the shard top-ks, so
+                    # the downstream rank window sees ≤ k·n_shards rows
+                    # per phrase — a hot phrase can never funnel every
+                    # matching doc of the corpus into one reducer
+                    sel = np.lexsort((docs, -counts))[:k]
+                    docs, counts = docs[sel], counts[sel]
                 out_p.extend([pid] * docs.size)
                 out_d.extend(docs.tolist())
                 out_c.extend(counts.tolist())
