@@ -104,6 +104,9 @@ def main() -> None:
     _wq = _mpt(_wpos, block_span=64, n_buckets=8)
     _wq.query_set([(0, "warm table", 3)]).collect()
     _wq.near("warm table", 3, window=4).collect()
+    from local_search_engine_spark.streaming.percolate import percolate as _perc
+
+    _perc(mini, [(0, "warm table")], "text", "doc_id").count()
     D.exact_dedup_groups(mini, "text", "doc_id").count()
     D.minhash_lsh_pairs(mini, "text", "doc_id", n=3, bands=4, threshold=0.7).count()
     D.simhash_pairs(mini, "text", "doc_id", max_hamming=3, n_bands=4).count()
@@ -224,6 +227,18 @@ def main() -> None:
         lambda: pq.near("fast table", 20, window=4).collect(),
     )
     pos_c.unpersist()
+
+    from local_search_engine_spark.streaming.percolate import percolate
+
+    bench(
+        "percolate_batch",
+        lambda: percolate(
+            docs,
+            [(0, "table table"), (1, "fast table"), (2, "spark window")],
+            "text",
+            "doc_id",
+        ).count(),
+    )
 
     # --- training-data-pipeline operators -------------------------------
     bench("dedup_exact", lambda: D.exact_dedup_groups(docs, "text", "doc_id").count())

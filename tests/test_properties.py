@@ -100,6 +100,82 @@ def test_tokenizer_idempotent_and_clean(text):
         assert len(t) >= MIN_TOKEN_LEN or t in PRESERVE_TERMS
 
 
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=200_000), min_size=1,
+                 max_size=20, unique=True).map(sorted),
+        min_size=0, max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_position_codec_roundtrip_property(postings):
+    """decode_positions ∘ (per-posting delta encode) is the identity for
+    ANY list of sorted position lists — the positional index's codec
+    law (operators/positional.py)."""
+    import numpy as np
+
+    from local_search_engine_spark.functions.codec import encode_vb_sliced
+    from local_search_engine_spark.operators.positional import decode_positions
+
+    flat, starts = [], []
+    for p in postings:
+        starts.append(len(flat))
+        flat.append(p[0])
+        flat.extend(p[j] - p[j - 1] for j in range(1, len(p)))
+    bufs = encode_vb_sliced(
+        np.asarray(flat, np.uint64), np.asarray(starts, np.int64)
+    )
+    tfs = np.asarray([len(p) for p in postings], np.int64)
+    got = decode_positions(b"".join(bufs), tfs)
+    want = (
+        np.concatenate([np.asarray(p, np.int64) for p in postings])
+        if postings
+        else np.empty(0, np.int64)
+    )
+    assert np.array_equal(got, want)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=30),
+        min_size=1, max_size=25,
+    ),
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_phrase_kernel_matches_bruteforce_property(doc_tokens, phrase):
+    """phrase_occurrences (composite-key intersection) equals the naive
+    sliding-window count on ANY corpus of token streams — tiny alphabet
+    maximizes collisions/overlaps (e.g. self-adjacent phrases)."""
+    import numpy as np
+
+    from local_search_engine_spark.operators.positional import (
+        phrase_occurrences,
+    )
+
+    arrays: dict = {}
+    per: dict = {}
+    for d, toks in enumerate(doc_tokens):
+        for i, t in enumerate(toks):
+            per.setdefault(t, []).append((d, i))
+    arrays = {
+        t: (
+            np.asarray([d for d, _ in v], np.int64),
+            np.asarray([p for _, p in v], np.int64),
+        )
+        for t, v in per.items()
+    }
+    docs, counts = phrase_occurrences(arrays, phrase)
+    got = dict(zip(docs.tolist(), counts.tolist()))
+    want = {}
+    L = len(phrase)
+    for d, toks in enumerate(doc_tokens):
+        c = sum(1 for i in range(len(toks) - L + 1) if toks[i : i + L] == phrase)
+        if c:
+            want[d] = c
+    assert got == want
+
+
 def test_repetition_scores_known_values(spark):
     """Hand-computed Gopher repetition fractions."""
     from local_search_engine_spark.operators import textstats as TS
