@@ -427,6 +427,8 @@ def make_phrase_topk(
     query(text, k)            → DataFrame(rank, doc_id, phrase_tf)
     query.query_set([(id, text, k)]) → DataFrame(phrase_id, rank, doc_id, phrase_tf)
     query.near(text, k, window)      → DataFrame(rank, doc_id, n_anchors)
+    query.matches(text[, window])    → DataFrame(doc_id, phrase_tf) — ALL
+                                       matches, unranked (filter shape)
 
     Plan per call: bucket-pruned postings scan (term IN pushed; on a
     persisted index term_bucket literals prune directories) → one
@@ -450,21 +452,10 @@ def make_phrase_topk(
             scan = scan.filter(F.col("term_bucket").isin(buckets))
         return scan.filter(F.col("term").isin(sorted(set(all_terms))))
 
-    def query_set(phrases, window: int | None = None):
-        """All phrases in ONE plan (one scan, one shuffle), same
-        amortization as wand.query_set. phrases: [(phrase_id, text, k)].
-        window=None → exact phrase; window=w → proximity match."""
-        specs = []
-        for pid, text, k in phrases:
-            q_terms = tokenizer(text)
-            if q_terms and k > 0:
-                specs.append((int(pid), q_terms, int(k)))
-        count_col = "phrase_tf" if window is None else "n_anchors"
-        out_schema = f"phrase_id int, doc_id long, {count_col} long"
-        if not specs:
-            return spark.createDataFrame(
-                [], f"phrase_id int, rank int, doc_id long, {count_col} long"
-            )
+    def _per_shard_matches(specs, window, count_col, out_schema):
+        """(phrase_id, doc_id, count) per shard — specs carry k=None for
+        UNCAPPED full-match mode (the must-contain filter shape), an int
+        k for shard-capped top-k mode."""
         all_terms = sorted({t for _, q, _ in specs for t in q})
 
         def match_fn(pdf):
@@ -485,7 +476,7 @@ def make_phrase_topk(
                     docs, counts = phrase_occurrences(arrays, q_terms)
                 else:
                     docs, counts = proximity_docs(arrays, q_terms, window)
-                if docs.size > k:
+                if k is not None and docs.size > k:
                     # per-shard k-cap (the WAND heap's role here): the
                     # global top-k is a subset of the shard top-ks, so
                     # the downstream rank window sees ≤ k·n_shards rows
@@ -504,11 +495,28 @@ def make_phrase_topk(
                 }
             )
 
-        per_shard = (
+        return (
             _scan(all_terms)
             .groupBy("part_id")
             .applyInPandas(match_fn, out_schema)
         )
+
+    def query_set(phrases, window: int | None = None):
+        """All phrases in ONE plan (one scan, one shuffle), same
+        amortization as wand.query_set. phrases: [(phrase_id, text, k)].
+        window=None → exact phrase; window=w → proximity match."""
+        specs = []
+        for pid, text, k in phrases:
+            q_terms = tokenizer(text)
+            if q_terms and k > 0:
+                specs.append((int(pid), q_terms, int(k)))
+        count_col = "phrase_tf" if window is None else "n_anchors"
+        out_schema = f"phrase_id int, doc_id long, {count_col} long"
+        if not specs:
+            return spark.createDataFrame(
+                [], f"phrase_id int, rank int, doc_id long, {count_col} long"
+            )
+        per_shard = _per_shard_matches(specs, window, count_col, out_schema)
         kmap = F.element_at(
             F.map_from_arrays(
                 F.array(*[F.lit(p) for p, _, _ in specs]),
@@ -531,6 +539,24 @@ def make_phrase_topk(
     def near(text: str, k: int, window: int):
         return query_set([(0, text, k)], window=window).drop("phrase_id")
 
+    def matches(text: str, window: int | None = None):
+        """EVERY matching doc, unranked and uncapped — the must-contain
+        FILTER shape (semi-join side): (doc_id, phrase_tf|n_anchors).
+        No rank window at all, so a hot phrase costs one scan + one
+        shuffle and streams straight into the consuming join."""
+        q_terms = tokenizer(text)
+        count_col = "phrase_tf" if window is None else "n_anchors"
+        if not q_terms:
+            return spark.createDataFrame([], f"doc_id long, {count_col} long")
+        per_shard = _per_shard_matches(
+            [(0, q_terms, None)],
+            window,
+            count_col,
+            f"phrase_id int, doc_id long, {count_col} long",
+        )
+        return per_shard.select("doc_id", count_col)
+
     query.query_set = query_set
     query.near = near
+    query.matches = matches
     return query

@@ -134,8 +134,61 @@ def _docs_with_ids(corpus, idx):
     )
 
 
+def _ensure_phrase_filter(spark, corpus, idx, dirs):
+    """Positional postings over the SAME doc_id space as the persisted
+    BM25 index (ids join back via content hash), persisted under
+    ROOT/pos, fingerprint-keyed: stale or missing → rebuild. Returns
+    the bound phrase-query object (only `matches` is used here)."""
+    import os
+
+    from local_search_engine_spark.operators.positional import (
+        build_positional_postings,
+        load_positional_postings,
+        make_phrase_topk,
+        persist_positional_postings,
+    )
+
+    n_buckets = 16
+    pos_dir = os.path.join(os.path.dirname(dirs["bm25"]), "pos")
+    fp_path = os.path.join(pos_dir, FINGERPRINT_FILE)
+    docs_fp = _with_file(corpus)
+    expected = None
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            expected = json.load(f)
+    if expected != _corpus_fingerprint(docs_fp):
+        ids = _docs_with_ids(corpus, idx).select("doc_id", "content")
+        persist_positional_postings(
+            build_positional_postings(
+                ids, text_col="content", n_buckets=n_buckets
+            ),
+            pos_dir,
+            params={
+                "docs_per_shard": 50_000,
+                "block_span": 2048,
+                "n_buckets": n_buckets,
+            },
+        )
+        _write_fingerprint(docs_fp, pos_dir)
+    return make_phrase_topk(
+        load_positional_postings(spark, pos_dir), n_buckets=n_buckets
+    )
+
+
 def cmd_search(spark, corpus, args) -> dict:
-    """Persisted WAND + persisted ANN → RRF → snippets, end to end."""
+    """Persisted WAND + persisted ANN → RRF → snippets, end to end.
+
+    Double-quoted spans in the query are MUST-MATCH phrases (standard
+    search-box grammar): ranking runs over the full term set, then the
+    fused candidates are semi-joined against the positional index's
+    full-match set for every quoted phrase (operators/positional.py
+    `matches` — uncapped filter shape) before the final top-k cut, so a
+    result is returned only if it contains every quoted phrase
+    verbatim. The fusion legs over-fetch a 4k buffer when phrases are
+    present, since the filter can only shrink the candidate set."""
+    import re
+
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from local_search_engine_spark.functions.embed import stub_encoder_factory
@@ -154,15 +207,31 @@ def cmd_search(spark, corpus, args) -> dict:
         idx, postings, shard_meta, n_buckets=stats.get("n_buckets")
     )
     k = args.k
-    sparse = wand(args.query, k, prune=True).select(
+    quoted = re.findall(r'"([^"]+)"', args.query or "")
+    quoted = [p for p in quoted if tokenize_py(p)]
+    free_query = re.sub(r'"', " ", args.query)  # rank over ALL terms
+    fetch_k = max(k * 4, 50) if quoted else k
+    sparse = wand(free_query, fetch_k, prune=True).select(
         F.col("doc_id").alias("id"), "rank"
     )
-    qv = [float(x) for x in stub_encoder_factory(64)([args.query])[0]]
+    qv = [float(x) for x in stub_encoder_factory(64)([free_query])[0]]
     # srp_lsh_topk_persisted already emits (rank, id, cosine)
     dense = srp_lsh_topk_persisted(
-        spark, dirs["ann"], qv, k, probe_hamming=1
+        spark, dirs["ann"], qv, fetch_k, probe_hamming=1
     ).select("id", "rank")
-    fused = rrf_fuse(dense, sparse, topk=k)
+    fused = rrf_fuse(dense, sparse, topk=fetch_k)
+    if quoted:
+        pq = _ensure_phrase_filter(spark, corpus, idx, dirs)
+        for ph in quoted:
+            fused = fused.join(
+                pq.matches(ph).select(F.col("doc_id").alias("id")),
+                "id",
+                "left_semi",
+            )
+        # re-densify ranks over the ≤fetch_k survivors, cut at k
+        fused = fused.orderBy("fused_rank").limit(k)
+        w = Window.orderBy("fused_rank")
+        fused = fused.withColumn("fused_rank", F.row_number().over(w))
     # fetch metadata + text for the fused TOP-K ONLY: broadcast the
     # k-row fused side against the index doc table, then broadcast the
     # k-row result against the corpus scan for the raw text — the

@@ -121,6 +121,47 @@ def test_cli_search_composed_and_stale_grep(spark, tmp_path):
     assert idx_df2 is None and stale2
 
 
+def test_cli_search_quoted_phrase_must_match(spark, tmp_path):
+    """Quoted spans in the composed `search` are hard must-match
+    constraints: every returned doc contains the quoted bigram verbatim
+    (token-stream check), ranks are dense, and an impossible phrase
+    yields zero results."""
+    import argparse
+
+    from scripts.code_search import cmd_search
+
+    from local_search_engine_spark.functions.tokenize import tokenize_py
+
+    corpus = gen_corpus_spark(spark, 120, partitions=4)
+    root = str(tmp_path / "root")
+    args = argparse.Namespace(
+        query='"self return" merge shard', index=root, k=5
+    )
+    out = cmd_search(spark, corpus, args)
+    assert out["results"], "quoted search returned nothing"
+    assert [r["rank"] for r in out["results"]] == list(
+        range(1, len(out["results"]) + 1)
+    )
+    by_file = {
+        r["file"]: r["content"]
+        for r in corpus.selectExpr(
+            "concat_ws(':', repo, path) AS file", "content"
+        ).collect()
+    }
+    for r in out["results"]:
+        toks = tokenize_py(by_file[r["file"]])
+        assert any(
+            (a, b) == ("self", "return") for a, b in zip(toks, toks[1:])
+        ), r["file"]
+
+    none = cmd_search(
+        spark,
+        corpus,
+        argparse.Namespace(query='"zz_absent_term qq" merge', index=root, k=5),
+    )
+    assert none["results"] == []
+
+
 def test_cli_phrase_subcommand(spark, tmp_path):
     """`phrase` subcommand: positional-index phrase search end to end —
     first call builds ROOT/pos (fingerprint-keyed), second call reuses
