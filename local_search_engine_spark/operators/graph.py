@@ -81,7 +81,13 @@ def pagerank(
     and a single post-checkpoint aggregate — materializing the
     checkpoint as it runs — returns BOTH the convergence Δ and the next
     round's dangling mass (Σ rank over out-degree-0 nodes of the NEW
-    ranks). The r03 shape ran three actions per round.
+    ranks). The r03 shape ran three actions per round. Dangling
+    membership is STATIC, so it is resolved ONCE before the loop into a
+    boolean column on the node table and rides through every round's
+    rank projection — the per-round aggregate is a plain scan of the
+    fresh barrier in exact_iters mode (no join at all: one fewer
+    node-table shuffle per round than the first one-action shape, which
+    re-joined the static no-out set every iteration).
 
     INVARIANT (load-bearing, do not "simplify" away): the plan feeding
     each round's checkpoint references the previous checkpoint barrier
@@ -114,6 +120,17 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     e_deg = e.join(out_deg, "src").localCheckpoint()
+    # static dangling flag, resolved once: rides through every round's
+    # projection so the per-round aggregate never joins
+    nodes_f = (
+        nodes.join(
+            out_deg.select(F.col("src").alias("node"), F.lit(1).alias("_has")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_has").isNull().alias("_dangling"))
+        .localCheckpoint()
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
     rounds = max_iter if exact_iters is None else exact_iters
@@ -126,7 +143,6 @@ def pagerank(
         .first()[0]
     )
     delta = None
-    no_out = out_deg.select(F.col("src").alias("node"), F.lit(1).alias("_has"))
     for _ in range(rounds):
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
@@ -135,7 +151,7 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         new_ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes_f.join(contribs, "node", "left")
             .select(
                 "node",
                 (
@@ -146,32 +162,31 @@ def pagerank(
                         + F.lit(dang) / F.lit(float(n))
                     )
                 ).alias("rank"),
+                "_dangling",
             )
             .localCheckpoint(eager=False)
         )
         # the round's ONE action: materializes the lazy checkpoint and
         # returns the next round's dangling mass — plus, in convergence
-        # mode, the Δ against the previous barrier in the same aggregate
+        # mode, the Δ against the previous barrier in the same aggregate.
+        # exact_iters mode is a JOIN-FREE scan-agg of the fresh barrier.
         dang_col = F.coalesce(
-            F.sum(F.when(F.col("_has").isNull(), F.col("rank"))), F.lit(0.0)
+            F.sum(F.when(F.col("_dangling"), F.col("rank"))), F.lit(0.0)
         ).alias("_dang")
         if exact_iters is None:
             row = (
                 new_ranks.join(
                     ranks.select("node", F.col("rank").alias("_old")), "node"
                 )
-                .join(no_out, "node", "left")
                 .agg(F.max(F.abs(F.col("rank") - F.col("_old"))).alias("_delta"), dang_col)
                 .first()
             )
             delta, dang = row["_delta"], row["_dang"]
         else:
-            dang = (
-                new_ranks.join(no_out, "node", "left").agg(dang_col).first()["_dang"]
-            )
+            dang = new_ranks.agg(dang_col).first()["_dang"]
         ranks = new_ranks
         if exact_iters is None and delta < tol:
-            return ranks
+            return ranks.select("node", "rank")
     if exact_iters is not None:
-        return ranks
+        return ranks.select("node", "rank")
     raise RuntimeError(f"pagerank did not converge in {max_iter} rounds (Δ={delta})")
