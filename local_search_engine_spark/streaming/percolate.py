@@ -32,7 +32,13 @@ from typing import Callable
 
 from ..functions.tokenize import tokenize_py
 
-PERCOLATE_SCHEMA = "doc_id long, query_id int, phrase_tf long"
+
+def _out_schema(df, id_col: str) -> str:
+    """Output schema keeps the caller's id column name AND type —
+    percolation never does id arithmetic, so string paths / long ids /
+    anything hashable passes straight through."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    return f"{id_col} {id_type}, query_id int, phrase_tf long"
 
 
 def _match_batches_fn(
@@ -64,13 +70,13 @@ def _match_batches_fn(
                         if all(p + i in posset[q[i]] for i in range(1, len(q))):
                             c += 1
                     if c:
-                        out_d.append(int(doc_id))
+                        out_d.append(doc_id)
                         out_q.append(qid)
                         out_c.append(c)
             if out_d:
                 yield pd.DataFrame(
                     {
-                        "doc_id": pd.Series(out_d, dtype="int64"),
+                        id_col: pd.Series(out_d),
                         "query_id": pd.Series(out_q, dtype="int32"),
                         "phrase_tf": pd.Series(out_c, dtype="int64"),
                     }
@@ -101,9 +107,9 @@ def percolate(
     specs = _tokenize_specs(phrases, tokenizer)
     spark = docs.sparkSession
     if not specs:
-        return spark.createDataFrame([], PERCOLATE_SCHEMA)
+        return spark.createDataFrame([], _out_schema(docs, id_col))
     return docs.select(id_col, text_col).mapInPandas(
-        _match_batches_fn(specs, text_col, id_col), PERCOLATE_SCHEMA
+        _match_batches_fn(specs, text_col, id_col), _out_schema(docs, id_col)
     )
 
 
@@ -122,5 +128,5 @@ def percolate_stream(
     if not specs:
         raise ValueError("percolate_stream needs at least one non-empty phrase")
     return stream.select(id_col, text_col).mapInPandas(
-        _match_batches_fn(specs, text_col, id_col), PERCOLATE_SCHEMA
+        _match_batches_fn(specs, text_col, id_col), _out_schema(stream, id_col)
     )
