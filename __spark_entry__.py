@@ -163,27 +163,45 @@ SELECT rank, doc_id, score FROM (
 """
 
 
-def _phrase_sql(specs) -> str:
-    """Top-k exact-phrase oracle for a batch of phrases: positions are
-    re-derived by a ZIPPED UNNEST over the shared tokenizer (token i ↔
-    ordinal i), and a phrase [t0..t_{L-1}] matches where tok(p+i)=t_i
-    for all i — a self-join chain per phrase, a genuinely independent
-    matcher from the engine's composite-key posting intersection.
+def _phrase_sql(specs, near_specs=()) -> str:
+    """Top-k exact-phrase + proximity oracle: positions are re-derived
+    by a ZIPPED UNNEST over the shared tokenizer (token i ↔ ordinal i).
+    A phrase [t0..t_{L-1}] (mode='phrase') matches where tok(p+i)=t_i
+    for all i — a self-join chain per phrase; a proximity probe
+    (mode='near', ±w) counts DISTINCT anchor positions p of t0 such
+    that every other term occurs in [p−w, p+w] — BETWEEN joins then a
+    DISTINCT (doc, p) collapse, since a term with several in-window
+    positions must not multiply anchors. Both are genuinely independent
+    matchers from the engine's composite-key / searchsorted kernels.
     Integer counts, rounded-rank rule degenerate (no floats)."""
     parts = []
     kvals = []
     for pid, text, k in specs:
         toks = tokenize_py(text)
-        kvals.append(f"({pid}, {k})")
+        kvals.append(f"('phrase', {pid}, {k})")
         joins = " ".join(
             f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i} "
             f"AND t{i}.t = '{t}'"
             for i, t in enumerate(toks[1:], 1)
         )
         parts.append(
-            f"SELECT {pid}::int AS phrase_id, t0.doc_id AS doc_id, "
-            f"count(*)::bigint AS phrase_tf FROM tok t0 {joins} "
-            f"WHERE t0.t = '{toks[0]}' GROUP BY 1, 2"
+            f"SELECT 'phrase' AS mode, {pid}::int AS phrase_id, "
+            f"t0.doc_id AS doc_id, count(*)::bigint AS cnt FROM tok t0 {joins} "
+            f"WHERE t0.t = '{toks[0]}' GROUP BY 1, 2, 3"
+        )
+    for pid, text, k, w in near_specs:
+        toks = list(dict.fromkeys(tokenize_py(text)))
+        kvals.append(f"('near', {pid}, {k})")
+        joins = " ".join(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.p BETWEEN t0.p - {w} AND t0.p + {w} AND t{i}.t = '{t}'"
+            for i, t in enumerate(toks[1:], 1)
+        )
+        parts.append(
+            f"SELECT 'near' AS mode, {pid}::int AS phrase_id, doc_id, "
+            f"count(*)::bigint AS cnt FROM ("
+            f"SELECT DISTINCT t0.doc_id AS doc_id, t0.p AS p "
+            f"FROM tok t0 {joins} WHERE t0.t = '{toks[0]}') GROUP BY 1, 2, 3"
         )
     union = " UNION ALL ".join(parts)
     return f"""
@@ -192,13 +210,14 @@ WITH tok AS (
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
 ),
 u AS ({union}),
-r AS (SELECT phrase_id,
-             row_number() OVER (PARTITION BY phrase_id
-                                ORDER BY phrase_tf DESC, doc_id)::int AS rank,
-             doc_id, phrase_tf
+r AS (SELECT mode, phrase_id,
+             row_number() OVER (PARTITION BY mode, phrase_id
+                                ORDER BY cnt DESC, doc_id)::int AS rank,
+             doc_id, cnt
       FROM u)
-SELECT r.phrase_id, r.rank, r.doc_id, r.phrase_tf
-FROM r JOIN (VALUES {", ".join(kvals)}) km(pid, k) ON km.pid = r.phrase_id
+SELECT r.mode, r.phrase_id, r.rank, r.doc_id, r.cnt
+FROM r JOIN (VALUES {", ".join(kvals)}) km(m, pid, k)
+  ON km.m = r.mode AND km.pid = r.phrase_id
 WHERE r.rank <= km.k
 """
 
@@ -534,6 +553,11 @@ PHRASE_SPECS = [
     (1, "fast table", 20),
     (2, "spark window", 20),
     (3, "agg row scan", 10),
+]
+# proximity rows (mode='near') ride the same gate: (id, terms, k, ±window)
+NEAR_SPECS = [
+    (0, "merge spark", 20, 4),
+    (1, "agg window table", 20, 6),
 ]
 POS_DOCS_PER_SHARD = 1000
 POS_BLOCK_SPAN = 256
@@ -1403,6 +1427,8 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_phrase_topk,
     )
 
+    from pyspark.sql import functions as F
+
     postings = build_positional_postings(
         _docs(spark, sf_dir),
         docs_per_shard=POS_DOCS_PER_SHARD,
@@ -1412,7 +1438,26 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = make_phrase_topk(
         postings, block_span=POS_BLOCK_SPAN, n_buckets=POS_N_BUCKETS
     )
-    return q.query_set(PHRASE_SPECS)
+    exact = q.query_set(PHRASE_SPECS).select(
+        F.lit("phrase").alias("mode"),
+        "phrase_id", "rank", "doc_id",
+        F.col("phrase_tf").alias("cnt"),
+    )
+    parts = [exact]
+    # proximity (mode='near'): the ±window any-order variant, one
+    # query_set per distinct window
+    for pid, terms, k, w in NEAR_SPECS:
+        parts.append(
+            q.query_set([(pid, terms, k)], window=w).select(
+                F.lit("near").alias("mode"),
+                "phrase_id", "rank", "doc_id",
+                F.col("n_anchors").alias("cnt"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3224,7 +3269,7 @@ LEFT JOIN (SELECT id, min(media_type) AS stub_media_type,
            FROM ({oracles["multimodal_frame_sample"]}) GROUP BY 1) f ON f.id = m.id
 LEFT JOIN ({oracles["pdf_extract_roundtrip"]}) p ON p.id = m.id
 """
-    oracles["phrase_positional_topk"] = _phrase_sql(PHRASE_SPECS)
+    oracles["phrase_positional_topk"] = _phrase_sql(PHRASE_SPECS, NEAR_SPECS)
     # ---- round-4 new gates (the r03 pytest-only operator wave) ----
     oracles["trigram_search"] = f"""
 SELECT 'literal' AS method, doc_id FROM documents
