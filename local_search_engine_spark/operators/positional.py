@@ -341,26 +341,56 @@ def append_positional_postings(
     return meta
 
 
-def _shard_term_arrays(posts_pdf, span: int):
-    """Per term: (doc_rep uint64, pos int64) flat pairs for the whole
-    shard, built by decoding each (term, block) run and concatenating in
-    block order (runs are disjoint ascending doc ranges)."""
+def _shard_term_runs(posts_pdf):
+    """term -> run rows sorted by (block_id, first_doc_id) — the seam
+    tiebreak keeps concatenation ascending in doc_id after an append,
+    which the proximity searchsorted path requires. Rows stay ENCODED
+    here; decode happens per candidate block (_arrays_for)."""
+    return {
+        term: grp.sort_values(["block_id", "first_doc_id"])
+        for term, grp in posts_pdf.groupby("term", sort=False)
+    }
+
+
+def _arrays_for(runs_by_term, q_terms, span: int, decoded_cache: dict):
+    """Per query term: (docs, pos) flat pairs restricted to CANDIDATE
+    blocks — block-skipping: blocks are doc-range aligned across terms,
+    so a doc containing every phrase term carries postings for each of
+    them in the SAME block_id; the candidate set is the intersection of
+    the terms' block_id sets and all other runs skip decode entirely
+    (a hot term like `def` in a phrase with a rare term decodes only
+    the rare term's blocks). Decoded runs are memoized per
+    (term, block_id, first_doc) across phrases sharing a shard.
+    Returns None when some term is absent from the shard."""
     from ..functions.codec import decode_block
 
-    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for term, grp in posts_pdf.groupby("term", sort=False):
-        # (block_id, first_doc_id): after an append, the seam block can
-        # hold TWO runs of one term (old range + appended tail) — the
-        # tiebreak keeps concatenation ascending in doc_id, which the
-        # proximity searchsorted path requires
-        grp = grp.sort_values(["block_id", "first_doc_id"])
+    uniq = list(dict.fromkeys(q_terms))
+    for t in uniq:
+        if t not in runs_by_term:
+            return None
+    allowed = None
+    for t in uniq:
+        blocks = set(runs_by_term[t]["block_id"].tolist())
+        allowed = blocks if allowed is None else (allowed & blocks)
+        if not allowed:
+            return None
+    out = {}
+    for t in uniq:
         doc_parts, pos_parts = [], []
-        for row in grp.itertuples(index=False):
-            d, tf = decode_block(row.doc_ids_vb, row.tfs_vb, int(row.block_id) * span)
-            pos = decode_positions(row.pos_vb, tf)
-            doc_parts.append(np.repeat(d, tf))
-            pos_parts.append(pos)
-        out[term] = (
+        for row in runs_by_term[t].itertuples(index=False):
+            if int(row.block_id) not in allowed:
+                continue
+            key = (t, int(row.block_id), int(row.first_doc_id))
+            hit = decoded_cache.get(key)
+            if hit is None:
+                d, tf = decode_block(
+                    row.doc_ids_vb, row.tfs_vb, int(row.block_id) * span
+                )
+                hit = (np.repeat(d, tf), decode_positions(row.pos_vb, tf))
+                decoded_cache[key] = hit
+            doc_parts.append(hit[0])
+            pos_parts.append(hit[1])
+        out[t] = (
             np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64),
             np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64),
         )
@@ -469,9 +499,13 @@ def make_phrase_topk(
                         count_col: pd.Series(dtype="int64"),
                     }
                 )
-            arrays = _shard_term_arrays(pdf, span)
+            runs_by_term = _shard_term_runs(pdf)
+            decoded_cache: dict = {}
             out_p, out_d, out_c = [], [], []
             for pid, q_terms, k in specs:
+                arrays = _arrays_for(runs_by_term, q_terms, span, decoded_cache)
+                if arrays is None:
+                    continue
                 if window is None:
                     docs, counts = phrase_occurrences(arrays, q_terms)
                 else:
