@@ -371,7 +371,7 @@ WITH aug AS (
   FROM documents),
 raw AS ({union})
 SELECT symbol, kind, count(*)::bigint AS n_defs,
-       list_sort(list(doc_id)) AS doc_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
 FROM raw GROUP BY 1, 2
 """
 
@@ -454,7 +454,7 @@ st(rn, seq_start, seq_tok) AS (
               THEN d.n_tokens ELSE st.seq_tok + d.n_tokens END
   FROM st JOIN d ON d.rn = st.rn + 1)
 SELECT st.seq_start AS seq_id,
-       list(d.doc_id ORDER BY d.doc_id) AS doc_ids,
+       array_to_string(list(d.doc_id ORDER BY d.doc_id), ',') AS doc_ids,
        count(*)::int AS n_docs,
        sum(d.n_tokens)::bigint AS total_tokens,
        (count(*) = 1 AND sum(d.n_tokens) > {PACK_BUDGET}) AS needs_split
@@ -1536,8 +1536,13 @@ def q_multimodal_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id", "media_type", "width", "height", "n_frames",
             F.coalesce("stub_media_type", F.lit("none")).alias("stub_media_type"),
+            # joined-string projection: array cells crash the driver's
+            # pandas-sort canonicalizer (r05, VERDICT #1)
             F.coalesce(
-                "sampled_frames", F.array().cast("array<int>")
+                F.array_join(
+                    F.transform("sampled_frames", lambda v: v.cast("string")), ","
+                ),
+                F.lit(""),
             ).alias("sampled_frames"),
             "pdf_text", "pdf_n_pages", "pdf_ok",
         )
@@ -2106,8 +2111,15 @@ def q_code_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), text_case).alias("content"),
     )
     syms = extract_symbols(aug, text_col="content", lang_col="lang", id_col="doc_id")
+    # doc_ids is array<long>; the driver's pandas-sort canonicalizer cannot
+    # sort array cells, so project it to a joined string (r05, VERDICT #1)
     return symbol_definitions(syms).select(
-        "symbol", "kind", F.col("n_defs").cast("long").alias("n_defs"), "doc_ids"
+        "symbol",
+        "kind",
+        F.col("n_defs").cast("long").alias("n_defs"),
+        F.array_join(
+            F.transform("doc_ids", lambda v: v.cast("string")), ","
+        ).alias("doc_ids"),
     )
 
 
@@ -2171,9 +2183,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = pack_sequences(d, budget=PACK_BUDGET, partitions=1)
+    # doc_ids projected to a joined string: array cells crash the
+    # driver's pandas-sort canonicalizer (r05, VERDICT #1)
     return out.select(
         "seq_id",
-        "doc_ids",
+        F.array_join(
+            F.transform("doc_ids", lambda v: v.cast("string")), ","
+        ).alias("doc_ids"),
         F.col("n_docs").cast("int").alias("n_docs"),
         "total_tokens",
         "needs_split",
@@ -3261,7 +3277,7 @@ SELECT 'blend' AS method, combined_rank AS rank, id, norm_d AS aux_d,
     oracles["multimodal_meta_real"] = f"""
 SELECT m.id, m.media_type, m.width, m.height, m.n_frames,
        coalesce(f.stub_media_type, 'none') AS stub_media_type,
-       coalesce(f.sampled_frames, CAST([] AS INTEGER[])) AS sampled_frames,
+       coalesce(array_to_string(f.sampled_frames, ','), '') AS sampled_frames,
        p.text AS pdf_text, p.n_pages AS pdf_n_pages, p.extract_ok AS pdf_ok
 FROM ({oracles["multimodal_meta_real"]}) m
 LEFT JOIN (SELECT id, min(media_type) AS stub_media_type,

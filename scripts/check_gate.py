@@ -27,9 +27,23 @@ def canon(val):
 
 
 def rows_to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted("|".join(canon(r[i]) for i in order) for r in rows)
-    return out
+    """Driver-faithful canonicalization (r05, VERDICT #2): the driver
+    builds a pandas frame, orders columns by name, and pandas-sorts the
+    rows over every column. Array/map/struct cells make pandas'
+    hashtable-based sort raise TypeError — exactly the crash the driver
+    records as a gate ERR — so this harness must crash the same way
+    instead of silently stringifying the cell (the old str(val) canon
+    let three array-typed gates ship green locally and err at the
+    driver in r04)."""
+    import pandas as pd
+
+    df = pd.DataFrame(list(rows), columns=list(cols))
+    df = df[sorted(df.columns)]
+    # the driver's pandas sort: unhashable (list/dict/ndarray) cells
+    # raise here, as they do in the driver's _canon
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    canoned = df.map(canon)
+    return sorted("|".join(r) for r in canoned.itertuples(index=False, name=None))
 
 
 def main():
