@@ -12,11 +12,24 @@ per-document with NO index and NO state:
 
   * The standing query set is tokenized once on the driver and shipped
     in the task closure (standing sets are small — thousands of
-    phrases, not documents). Per document, matching first probes a
-    term-set guard (every phrase term must occur in the doc — a hash
-    lookup per term) and only then counts occurrences along the first
-    term's positions, so the per-doc cost is
-    O(tokens + Σ_{surviving phrases} tf(first term) · L).
+    phrases, not documents).
+  * The kernel builds ONE batch-level positional posting map per Arrow
+    batch (composite key doc_idx·2³² + position, the same encoding
+    operators/positional.py uses for its block intersects) and answers
+    every standing phrase with chained `np.intersect1d(assume_unique)`
+    over term posting arrays — the whole batch is matched per phrase in
+    a handful of numpy set ops instead of a per-document, per-position
+    Python loop (r05 kernel vectorization: 40 k docs / 211 MB / 100
+    standing phrases went 13.0 s → measured in BENCH §11; the old
+    kernel's match loop was 85 % of its cost).
+  * Tokenization stays IN the kernel on raw text. The "obvious"
+    alternative — JVM tokenize_expr before the Arrow exchange — was
+    measured 2.4× SLOWER end-to-end (31.9 s vs 13.0 s on the same
+    input): shipping 33 M tokens as Arrow list<string> costs far more
+    than the compiled-regex split it avoids, because every token
+    becomes a Python object during pandas conversion while tokenize is
+    only ~5 % of kernel time. Measurement over intuition; numbers in
+    BENCH/BASELINE.md §11.
   * percolate (batch twin) and percolate_stream are the SAME narrow
     Arrow mapInPandas transformation — zero shuffle, zero streaming
     state (stateless matching needs no watermark; state stores are for
@@ -32,6 +45,8 @@ from typing import Callable
 
 from ..functions.tokenize import tokenize_py
 
+_DOC_SHIFT = 2**32  # composite key: doc_idx * 2^32 + position
+
 
 def _out_schema(df, id_col: str) -> str:
     """Output schema keeps the caller's id column name AND type —
@@ -45,42 +60,75 @@ def _match_batches_fn(
     specs: list[tuple[int, list[str]]],
     text_col: str,
     id_col: str,
+    tokenizer: Callable[[str], list[str]],
 ):
     """mapInPandas kernel shared by the batch and streaming shapes.
-    specs: [(query_id, phrase_tokens)] — pre-tokenized, non-empty."""
+    specs: [(query_id, phrase_tokens)] — pre-tokenized, non-empty.
+
+    Per batch: tokenize each doc, build a term → sorted-composite-key
+    posting map for the WHOLE batch in one numpy grouping pass, then
+    per phrase chain intersect1d over (posting(q[k]) − k). A composite
+    survivor at offset 0 is a phrase start; doc_idx = key >> 32 and a
+    np.unique over survivors yields per-doc phrase_tf. Positions never
+    approach 2³², so a +k probe cannot cross a document boundary."""
 
     def fn(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            out_d, out_q, out_c = [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = tokenize_py(text if text is not None else "")
-                if not toks:
+            texts = pdf[text_col]
+            flat_toks: list[str] = []
+            doc_lens: list[int] = []
+            for text in texts:
+                toks = tokenizer(text if text is not None else "")
+                flat_toks.extend(toks)
+                doc_lens.append(len(toks))
+            if not flat_toks:
+                continue
+            lens = np.asarray(doc_lens, dtype=np.int64)
+            # composite keys, grouped by term code via one stable argsort;
+            # hash-based pd.factorize beats sort-based np.unique ~5× on
+            # object-dtype token arrays (measured, BENCH §11)
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            pos_in_doc = np.concatenate([np.arange(n, dtype=np.int64) for n in doc_lens if n])
+            comp = doc_idx * _DOC_SHIFT + pos_in_doc
+            inv, terms = pd.factorize(np.asarray(flat_toks, dtype=object))
+            order = np.argsort(inv, kind="stable")
+            grouped = comp[order]  # per-term runs, ascending within each run
+            starts = np.searchsorted(inv[order], np.arange(len(terms) + 1))
+            tid = {t: i for i, t in enumerate(terms)}
+
+            ids_np = pdf[id_col].to_numpy()
+            out_frames = []
+            for qid, q in specs:
+                arr = None
+                for k, t in enumerate(q):
+                    i = tid.get(t)
+                    if i is None:
+                        arr = None
+                        break
+                    p = grouped[starts[i]:starts[i + 1]]
+                    arr = p if arr is None else np.intersect1d(
+                        arr, p - k, assume_unique=True
+                    )
+                    if arr.size == 0:
+                        arr = None
+                        break
+                if arr is None:
                     continue
-                pos: dict[str, list[int]] = {}
-                for i, t in enumerate(toks):
-                    pos.setdefault(t, []).append(i)
-                posset = {t: set(p) for t, p in pos.items()}
-                for qid, q in specs:
-                    if any(t not in posset for t in q):
-                        continue  # term-set guard: cheap reject
-                    c = 0
-                    for p in pos[q[0]]:
-                        if all(p + i in posset[q[i]] for i in range(1, len(q))):
-                            c += 1
-                    if c:
-                        out_d.append(doc_id)
-                        out_q.append(qid)
-                        out_c.append(c)
-            if out_d:
-                yield pd.DataFrame(
-                    {
-                        id_col: pd.Series(out_d),
-                        "query_id": pd.Series(out_q, dtype="int32"),
-                        "phrase_tf": pd.Series(out_c, dtype="int64"),
-                    }
+                hit_docs, counts = np.unique(arr // _DOC_SHIFT, return_counts=True)
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids_np[hit_docs],
+                            "query_id": np.full(len(hit_docs), qid, dtype=np.int32),
+                            "phrase_tf": counts.astype(np.int64),
+                        }
+                    )
                 )
+            if out_frames:
+                yield pd.concat(out_frames, ignore_index=True)
 
     return fn
 
@@ -109,7 +157,8 @@ def percolate(
     if not specs:
         return spark.createDataFrame([], _out_schema(docs, id_col))
     return docs.select(id_col, text_col).mapInPandas(
-        _match_batches_fn(specs, text_col, id_col), _out_schema(docs, id_col)
+        _match_batches_fn(specs, text_col, id_col, tokenizer),
+        _out_schema(docs, id_col),
     )
 
 
@@ -128,5 +177,6 @@ def percolate_stream(
     if not specs:
         raise ValueError("percolate_stream needs at least one non-empty phrase")
     return stream.select(id_col, text_col).mapInPandas(
-        _match_batches_fn(specs, text_col, id_col), _out_schema(stream, id_col)
+        _match_batches_fn(specs, text_col, id_col, tokenizer),
+        _out_schema(stream, id_col),
     )
