@@ -163,7 +163,7 @@ SELECT rank, doc_id, score FROM (
 """
 
 
-def _phrase_sql(specs, near_specs=()) -> str:
+def _phrase_sql(specs, near_specs=(), perc_specs=()) -> str:
     """Top-k exact-phrase + proximity oracle: positions are re-derived
     by a ZIPPED UNNEST over the shared tokenizer (token i ↔ ordinal i).
     A phrase [t0..t_{L-1}] (mode='phrase') matches where tok(p+i)=t_i
@@ -202,6 +202,22 @@ def _phrase_sql(specs, near_specs=()) -> str:
             f"count(*)::bigint AS cnt FROM ("
             f"SELECT DISTINCT t0.doc_id AS doc_id, t0.p AS p "
             f"FROM tok t0 {joins} WHERE t0.t = '{toks[0]}') GROUP BY 1, 2, 3"
+        )
+    # mode='percolate' (r05): the same phrase self-join chain but the
+    # FULL match set — percolation has no top-k; k = INT_MAX disables
+    # the rank cut while keeping the shared rank rule hash-checked
+    for pid, text in perc_specs:
+        toks = tokenize_py(text)
+        kvals.append(f"('percolate', {pid}, 2147483647)")
+        joins = " ".join(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i} "
+            f"AND t{i}.t = '{t}'"
+            for i, t in enumerate(toks[1:], 1)
+        )
+        parts.append(
+            f"SELECT 'percolate' AS mode, {pid}::int AS phrase_id, "
+            f"t0.doc_id AS doc_id, count(*)::bigint AS cnt FROM tok t0 {joins} "
+            f"WHERE t0.t = '{toks[0]}' GROUP BY 1, 2, 3"
         )
     union = " UNION ALL ".join(parts)
     return f"""
@@ -558,6 +574,18 @@ PHRASE_SPECS = [
 NEAR_SPECS = [
     (0, "merge spark", 20, 4),
     (1, "agg window table", 20, 6),
+]
+# percolation rows (mode='percolate') ride the same gate (r05, VERDICT
+# #5): the SAME standing phrases matched INDEX-FREE by
+# streaming/percolate.py's batch twin — full match set, no k cut, rank
+# recomputed under the shared (cnt DESC, doc_id) rule. pid 4 is an
+# OOV phrase: both sides must produce zero rows for it.
+PERC_SPECS = [
+    (0, "table table"),
+    (1, "fast table"),
+    (2, "spark window"),
+    (3, "agg row scan"),
+    (4, "vector zzzznotaterm"),
 ]
 POS_DOCS_PER_SHARD = 1000
 POS_BLOCK_SPAN = 256
@@ -1454,6 +1482,27 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_anchors").alias("cnt"),
             )
         )
+    # percolation (mode='percolate', r05): the SAME phrases matched
+    # index-free by the streaming percolator's batch twin — a third
+    # independent phrase matcher hash-checked against the zipped-unnest
+    # oracle (full match set; rank re-derived under the shared rule)
+    from pyspark.sql import Window
+
+    from local_search_engine_spark.streaming.percolate import percolate
+
+    perc = percolate(_docs(spark, sf_dir), PERC_SPECS)
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("phrase_tf"), F.asc("doc_id")
+    )
+    parts.append(
+        perc.select(
+            F.lit("percolate").alias("mode"),
+            F.col("query_id").alias("phrase_id"),
+            F.row_number().over(pw).cast("int").alias("rank"),
+            "doc_id",
+            F.col("phrase_tf").alias("cnt"),
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -3285,7 +3334,9 @@ LEFT JOIN (SELECT id, min(media_type) AS stub_media_type,
            FROM ({oracles["multimodal_frame_sample"]}) GROUP BY 1) f ON f.id = m.id
 LEFT JOIN ({oracles["pdf_extract_roundtrip"]}) p ON p.id = m.id
 """
-    oracles["phrase_positional_topk"] = _phrase_sql(PHRASE_SPECS, NEAR_SPECS)
+    oracles["phrase_positional_topk"] = _phrase_sql(
+        PHRASE_SPECS, NEAR_SPECS, PERC_SPECS
+    )
     # ---- round-4 new gates (the r03 pytest-only operator wave) ----
     oracles["trigram_search"] = f"""
 SELECT 'literal' AS method, doc_id FROM documents
