@@ -348,26 +348,113 @@ def persist_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(vec_dir)
     with open(os.path.join(index_dir, "centroids.json"), "w") as f:
         json.dump(centroids, f)
+    _write_ivf_stats(embeddings.sparkSession, index_dir, vec_dir)
+
+
+def _write_ivf_stats(spark, index_dir: str, vec_dir: str) -> dict:
+    """Derive stats.json (global + per-cluster train-time mean
+    quantization error) from a narrow 2-column scan of the written
+    inverted file; shared by persist and retrain."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
     per_cluster = (
-        embeddings.sparkSession.read.parquet(vec_dir)
+        spark.read.parquet(vec_dir)
         .groupBy("cluster")
         .agg(F.count("*").alias("n"), F.avg("centroid_dist").alias("mean_dist"))
         .collect()
     )
     n_train = sum(int(r["n"]) for r in per_cluster)
     total = sum(int(r["n"]) * float(r["mean_dist"] or 0.0) for r in per_cluster)
+    stats = {
+        "n_train": n_train,
+        "train_mean_dist": (total / n_train) if n_train else 0.0,
+        "cluster_mean_dist": {
+            str(int(r["cluster"])): float(r["mean_dist"] or 0.0)
+            for r in per_cluster
+        },
+    }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(
-            {
-                "n_train": n_train,
-                "train_mean_dist": (total / n_train) if n_train else 0.0,
-                "cluster_mean_dist": {
-                    str(int(r["cluster"])): float(r["mean_dist"] or 0.0)
-                    for r in per_cluster
-                },
-            },
-            f,
-        )
+        json.dump(stats, f)
+    return stats
+
+
+def retrain_ivf_index(
+    spark,
+    index_dir: str,
+    n_centroids: int | None = None,
+    iters: int = 1,
+    seeding: str = "hash",
+) -> dict:
+    """The retrain-and-swap operation append_ivf_index's
+    retrain_recommended flag asks for: retrain the coarse quantizer on
+    the FULL merged vector set (train + every appended batch, read back
+    from the inverted file itself — no second copy of the corpus
+    exists), re-assign every vector, and atomically swap the rewritten
+    inverted file in. After the swap the index is bit-identical to a
+    fresh persist_ivf_index over the union (same deterministic
+    hash-seeded Lloyd training), so the drift baseline resets and a
+    drifted region regains its own cluster(s) — recall@k at fixed
+    nprobe returns to the pre-drift curve (test-pinned in
+    tests/test_similarity.py).
+
+    Swap protocol (single-writer, same as the postings checkpoint
+    story): write vectors.retrain → rename vectors → vectors.old →
+    rename vectors.retrain → vectors → rewrite centroids.json +
+    stats.json → delete vectors.old. A crash before the first rename
+    leaves the old index intact; between the renames the orphan
+    .retrain/.old dirs are inert (readers resolve only `vectors/`) and
+    a re-run rewrites them.
+
+    Returns {n, n_centroids, train_mean_dist_before, train_mean_dist_after}.
+    """
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    vec_dir = os.path.join(index_dir, "vectors")
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        old_centroids = json.load(f)
+    if n_centroids is None:
+        n_centroids = len(old_centroids)
+    dim = len(old_centroids[0])
+    # honest "before": mean quantization error of the CURRENT inverted
+    # file (train + appended batches against the old centroids) — the
+    # stored centroid_dist column makes this a narrow 1-column scan.
+    # stats.json's train_mean_dist would understate it: appended drifted
+    # batches are exactly what it excludes.
+    before = float(
+        spark.read.parquet(vec_dir).agg(F.avg("centroid_dist")).first()[0] or 0.0
+    )
+
+    merged = spark.read.parquet(vec_dir).select("id", "v")
+    centroids = ivf_train_centroids(
+        merged, n_centroids, dim, iters=iters,
+        id_col="id", vec_col="v", seeding=seeding,
+    )
+    tmp_dir = os.path.join(index_dir, "vectors.retrain")
+    old_dir = os.path.join(index_dir, "vectors.old")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    assigned = _ivf_assign_with_dist(merged, centroids)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(tmp_dir)
+    n = spark.read.parquet(tmp_dir).count()
+    os.rename(vec_dir, old_dir)
+    os.rename(tmp_dir, vec_dir)
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    stats = _write_ivf_stats(spark, index_dir, vec_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return {
+        "n": int(n),
+        "n_centroids": n_centroids,
+        "train_mean_dist_before": before,
+        "train_mean_dist_after": stats["train_mean_dist"],
+    }
 
 
 def append_ivf_index(

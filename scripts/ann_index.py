@@ -38,13 +38,15 @@ def _kind(index_dir: str) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["build", "append", "query"])
+    ap.add_argument("cmd", choices=["build", "append", "query", "retrain"])
     ap.add_argument("--embeddings", help="parquet with (vec_id, embedding)")
     ap.add_argument("--index", required=True)
     ap.add_argument("--kind", choices=["srp", "ivf"], default="srp")
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--bits", type=int, default=8, help="SRP hyperplanes")
-    ap.add_argument("--centroids", type=int, default=16, help="IVF lists")
+    ap.add_argument("--centroids", type=int, default=None,
+                    help="IVF lists (build default 16; retrain default keeps current)")
+    ap.add_argument("--iters", type=int, default=1, help="Lloyd rounds")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--probe", type=int, default=1, help="SRP Hamming radius / IVF nprobe")
     ap.add_argument("--query-vec-id", type=int, default=0)
@@ -61,7 +63,9 @@ def main() -> None:
         else:
             cents = [
                 [round(x, 6) for x in c]
-                for c in SIM.ivf_train_centroids(emb, args.centroids, args.dim)
+                for c in SIM.ivf_train_centroids(
+                    emb, args.centroids or 16, args.dim, iters=args.iters
+                )
             ]
             SIM.persist_ivf_index(emb, cents, args.index)
         n = spark.read.parquet(os.path.join(args.index, "vectors")).count()
@@ -70,12 +74,30 @@ def main() -> None:
     elif args.cmd == "append":
         emb = spark.read.parquet(args.embeddings)
         kind = _kind(args.index)
+        drift = None
         if kind == "srp":
             SIM.append_srp_index(args.index, emb)
         else:
-            SIM.append_ivf_index(args.index, emb)
+            m = SIM.append_ivf_index(args.index, emb)
+            drift = {
+                "drift_ratio": m["drift_ratio"],
+                "retrain_recommended": m["retrain_recommended"],
+            }
         n = spark.read.parquet(os.path.join(args.index, "vectors")).count()
         print(json.dumps({"cmd": "append", "kind": kind, "vectors": n,
+                          "drift": drift,
+                          "wall_sec": round(time.time() - t0, 2)}))
+    elif args.cmd == "retrain":
+        kind = _kind(args.index)
+        if kind != "ivf":
+            raise SystemExit(
+                "retrain applies to IVF indexes only (SRP buckets are a pure "
+                "function of (dim, bits) — appends never drift)"
+            )
+        info = SIM.retrain_ivf_index(
+            spark, args.index, n_centroids=args.centroids, iters=args.iters
+        )
+        print(json.dumps({"cmd": "retrain", "kind": kind, **info,
                           "wall_sec": round(time.time() - t0, 2)}))
     else:
         kind = _kind(args.index)
