@@ -194,11 +194,13 @@ def build_positional_postings(
         # sparse schemes (monotonically_increasing_id packs the
         # partition id into bits 33+) would silently corrupt matches,
         # so fail the build loudly instead.
-        if int(pdf["doc_id"].max()) >= 1 << 31:
+        if int(pdf["doc_id"].max()) >= 1 << 31 or int(pdf["doc_id"].min()) < 0:
             raise ValueError(
-                "positional postings require doc_id < 2^31 (composite "
-                "phrase-key arithmetic); re-id the corpus with dense ids "
-                "(operators.build.with_doc_ids) before indexing"
+                "positional postings require 0 <= doc_id < 2^31 (composite "
+                "phrase-key arithmetic: negative ids wrap on the uint64 "
+                "cast, big ids overflow the signed proximity math); re-id "
+                "the corpus with dense ids (operators.build.with_doc_ids) "
+                "before indexing"
             )
         bucket = int(pdf["term_bucket"].iloc[0])
         part = int(pdf["part_id"].iloc[0])
@@ -318,6 +320,21 @@ def append_positional_postings(
     lo = new_docs.agg(F.min(id_col).alias("lo")).first()["lo"]
     if lo is None:
         return meta  # empty batch
+    # _meta.json is advisory only: the delta-parquet commit (below) and
+    # the meta rewrite are two separate steps, so a crash between them
+    # leaves meta STALE and a blind retry of the same batch would pass
+    # the tailing check and write duplicate postings (duplicate
+    # composite keys break the assume_unique phrase intersects). The
+    # index itself is the source of truth — heal meta from the parquet
+    # max (a footer-stats-only agg) before validating the batch.
+    stored = (
+        spark.read.parquet(path).agg(F.max("last_doc_id").alias("m")).first()["m"]
+    )
+    postings_max = int(stored) if stored is not None else -1
+    if postings_max != meta["max_doc_id"]:
+        meta["max_doc_id"] = postings_max
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            json.dump(meta, f)
     if int(lo) <= meta["max_doc_id"]:
         raise ValueError(
             f"append batch min {id_col}={lo} <= stored max_doc_id="

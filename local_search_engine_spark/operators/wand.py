@@ -71,8 +71,6 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
         )
 
         def score_fn(key, posts_pdf, meta_pdf):
-            import heapq
-
             import numpy as np
             import pandas as pd
 
@@ -113,12 +111,20 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
             )
             scores = np.zeros(doc_lens.size, dtype=np.float64)
             touched = np.zeros(doc_lens.size, dtype=bool)
-            heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+            # running top-k as parallel numpy arrays (r05, VERDICT #7):
+            # θ only matters at WINDOW boundaries (a surviving window is
+            # always scored in full), so the per-touched-doc Python heap
+            # pushes collapse into one vectorized merge + lexsort per
+            # surviving window — same (score DESC, doc_id ASC) selection,
+            # bit-identical results (test_wand).
+            topk_s = np.empty(0, dtype=np.float64)
+            topk_d = np.empty(0, dtype=np.int64)
+            theta = -np.inf
 
             for bid, grp in posts_pdf.groupby("block_id", sort=True):
-                if prune and len(heap) == k:
+                if prune and topk_s.size == k:
                     ub = float(grp["_ub"].sum())
-                    if ub <= heap[0][0]:
+                    if ub <= theta:
                         continue  # window cannot beat the k-th best
                 base = int(bid) * span
                 for row in grp.itertuples(index=False):
@@ -137,21 +143,25 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
                     touched[off] = True
                 lo = max(base - first_doc, 0)
                 hi = min(base + span - first_doc, doc_lens.size)
-                for off in np.flatnonzero(touched[lo:hi]) + lo:
-                    s = scores[off]
-                    touched[off] = False
-                    scores[off] = 0.0
-                    item = (s, -(off + first_doc))
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
+                offs = np.flatnonzero(touched[lo:hi]) + lo
+                if offs.size:
+                    cand_s = np.concatenate((topk_s, scores[offs]))
+                    cand_d = np.concatenate((topk_d, offs + first_doc))
+                    touched[offs] = False
+                    scores[offs] = 0.0
+                    if cand_s.size > k:
+                        sel = np.lexsort((cand_d, -cand_s))[:k]
+                        topk_s, topk_d = cand_s[sel], cand_d[sel]
+                    else:
+                        topk_s, topk_d = cand_s, cand_d
+                    if topk_s.size == k:
+                        theta = float(topk_s.min())
 
-            out = sorted(((-nd, s) for s, nd in heap), key=lambda x: (-x[1], x[0]))
+            order = np.lexsort((topk_d, -topk_s))
             return pd.DataFrame(
                 {
-                    "doc_id": pd.Series([d for d, _ in out], dtype="int64"),
-                    "score": pd.Series([s for _, s in out], dtype="float64"),
+                    "doc_id": pd.Series(topk_d[order], dtype="int64"),
+                    "score": pd.Series(topk_s[order], dtype="float64"),
                 }
             )
 
@@ -199,8 +209,6 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
         )
 
         def score_set_fn(key, posts_pdf, meta_pdf):
-            import heapq
-
             import numpy as np
             import pandas as pd
 
@@ -241,11 +249,14 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
                 qw = {t: float(c) for t, c in qtf.items()}
                 scores = np.zeros(doc_lens.size, dtype=np.float64)
                 touched = np.zeros(doc_lens.size, dtype=bool)
-                heap: list[tuple[float, int]] = []
+                # vectorized window merge — same scheme as score_fn
+                topk_s = np.empty(0, dtype=np.float64)
+                topk_d = np.empty(0, dtype=np.int64)
+                theta = -np.inf
                 for bid, grp in sub.groupby("block_id", sort=True):
-                    if prune and len(heap) == k:
+                    if prune and topk_s.size == k:
                         ub = float((grp["_ub1"] * grp["term"].map(qw)).sum())
-                        if ub <= heap[0][0]:
+                        if ub <= theta:
                             continue
                     base = int(bid) * span
                     for row in grp.itertuples(index=False):
@@ -264,19 +275,22 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
                         touched[off] = True
                     lo = max(base - first_doc, 0)
                     hi = min(base + span - first_doc, doc_lens.size)
-                    for off in np.flatnonzero(touched[lo:hi]) + lo:
-                        s = scores[off]
-                        touched[off] = False
-                        scores[off] = 0.0
-                        item = (s, -(off + first_doc))
-                        if len(heap) < k:
-                            heapq.heappush(heap, item)
-                        elif item > heap[0]:
-                            heapq.heapreplace(heap, item)
-                for s, nd in heap:
-                    out_q.append(qid)
-                    out_d.append(-nd)
-                    out_s.append(s)
+                    offs = np.flatnonzero(touched[lo:hi]) + lo
+                    if offs.size:
+                        cand_s = np.concatenate((topk_s, scores[offs]))
+                        cand_d = np.concatenate((topk_d, offs + first_doc))
+                        touched[offs] = False
+                        scores[offs] = 0.0
+                        if cand_s.size > k:
+                            sel = np.lexsort((cand_d, -cand_s))[:k]
+                            topk_s, topk_d = cand_s[sel], cand_d[sel]
+                        else:
+                            topk_s, topk_d = cand_s, cand_d
+                        if topk_s.size == k:
+                            theta = float(topk_s.min())
+                out_q.extend([qid] * topk_s.size)
+                out_d.extend(topk_d.tolist())
+                out_s.extend(topk_s.tolist())
             return pd.DataFrame(
                 {
                     "query_id": pd.Series(out_q, dtype="int32"),

@@ -188,7 +188,6 @@ def cmd_search(spark, corpus, args) -> dict:
     present, since the filter can only shrink the candidate set."""
     import re
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from local_search_engine_spark.functions.embed import stub_encoder_factory
@@ -221,17 +220,51 @@ def cmd_search(spark, corpus, args) -> dict:
     ).select("id", "rank")
     fused = rrf_fuse(dense, sparse, topk=fetch_k)
     if quoted:
+        from functools import reduce
+
         pq = _ensure_phrase_filter(spark, corpus, idx, dirs)
-        for ph in quoted:
-            fused = fused.join(
-                pq.matches(ph).select(F.col("doc_id").alias("id")),
-                "id",
-                "left_semi",
-            )
+        # docs containing EVERY quoted phrase, with the summed phrase tf
+        # (one matches() row per phrase per doc; n_ph == len(quoted)
+        # keeps only full conjunctions)
+        legs = [pq.matches(ph).select("doc_id", "phrase_tf") for ph in quoted]
+        allm = (
+            reduce(lambda a, b: a.unionByName(b), legs)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_ph"), F.sum("phrase_tf").alias("tot_tf"))
+            .filter(F.col("n_ph") == len(quoted))
+        )
+        fused = fused.join(
+            allm.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
         # re-densify ranks over the ≤fetch_k survivors, cut at k
-        fused = fused.orderBy("fused_rank").limit(k)
-        w = Window.orderBy("fused_rank")
-        fused = fused.withColumn("fused_rank", F.row_number().over(w))
+        surv = fused.orderBy("fused_rank").limit(k).collect()
+        rows = [
+            (i + 1, r["id"], r["rank_d"], r["rank_s"], float(r["rrf_score"]))
+            for i, r in enumerate(surv)
+        ]
+        # recall fallback (r05, ADVICE): the semi-join only sees the
+        # fetch_k fusion buffer, so a phrase can match many docs that
+        # never entered the fused pool. When survivors < k, top up from
+        # the FULL phrase-match set ranked by (tot_tf DESC, doc_id) —
+        # phrase recall must not depend on the fusion buffer. Fallback
+        # rows carry rrf_score 0.0 (they were outside both fusion legs).
+        if len(rows) < k:
+            have = [r["id"] for r in surv]
+            extra = (
+                allm.filter(~F.col("doc_id").isin(have) if have else F.lit(True))
+                .orderBy(F.desc("tot_tf"), F.asc("doc_id"))
+                .limit(k - len(rows))
+                .collect()
+            )
+            nd = len(rows)
+            rows += [
+                (nd + j + 1, r["doc_id"], None, None, 0.0)
+                for j, r in enumerate(extra)
+            ]
+        fused = spark.createDataFrame(
+            rows,
+            "fused_rank int, id long, rank_d int, rank_s int, rrf_score double",
+        )
     # fetch metadata + text for the fused TOP-K ONLY: broadcast the
     # k-row fused side against the index doc table, then broadcast the
     # k-row result against the corpus scan for the raw text — the

@@ -171,6 +171,14 @@ def test_id_guards(spark):
     with pytest.raises((Py4JJavaError, PythonException, Exception)) as ei:
         build_positional_postings(big, docs_per_shard=16).count()
     assert "doc_id < 2^31" in str(ei.value)
+    # negative ids refused too (r05, ADVICE): they pass the integral and
+    # upper-bound checks but wrap on the uint64 composite-key cast
+    neg = spark.createDataFrame(
+        [(-3, "table scan table scan")], "doc_id long, text string"
+    )
+    with pytest.raises((Py4JJavaError, PythonException, Exception)) as ei:
+        build_positional_postings(neg, docs_per_shard=16).count()
+    assert "doc_id < 2^31" in str(ei.value)
 
 
 def test_kernel_edges():
@@ -225,6 +233,24 @@ def test_append_equals_full_rebuild(spark, tmp_path):
     with pytest.raises(ValueError, match="strictly tailing"):
         append_positional_postings(
             spark, path, spark.createDataFrame([(5, "table scan")], "doc_id long, text string")
+        )
+    assert load_positional_meta(path)["max_doc_id"] == meta["max_doc_id"]
+
+    # crash-retry safety (r05, ADVICE): simulate a crash BETWEEN the
+    # delta-parquet commit and the _meta.json rewrite by rolling meta
+    # back to the pre-append max. A blind retry of the same tail batch
+    # must be REFUSED (the postings already contain it — the healed max
+    # comes from the parquet, not the stale meta), and meta must heal.
+    import json
+    import os
+
+    stale = dict(meta)
+    stale["max_doc_id"] = max(d for d, _ in base)
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(stale, f)
+    with pytest.raises(ValueError, match="strictly tailing"):
+        append_positional_postings(
+            spark, path, spark.createDataFrame(tail, "doc_id long, text string")
         )
     assert load_positional_meta(path)["max_doc_id"] == meta["max_doc_id"]
 

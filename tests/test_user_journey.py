@@ -204,3 +204,60 @@ def test_cli_phrase_subcommand(spark, tmp_path):
     )
     out3 = cmd_phrase(spark, corpus, near_args)
     assert out3["results"] and all("n_anchors" in r for r in out3["results"])
+
+
+def test_cli_search_quoted_phrase_recall_beyond_fusion_buffer(spark, tmp_path):
+    """r05 (ADVICE): quoted-phrase recall must not depend on the fusion
+    buffer. Corpus engineered so BM25 over the free terms ranks
+    NON-phrase docs on top: 300 'gamma' docs contain alpha and beta
+    NON-adjacently plus many gammas (high free-term score, zero phrase
+    matches); only 40 docs contain the verbatim phrase "alpha beta" and
+    none of them contain gamma, so they fall outside the fetch_k fused
+    buffer. cmd_search must still return k full-phrase results by
+    topping up from the uncapped phrase-match set (fallback rows carry
+    score 0.0), every returned doc containing the phrase verbatim."""
+    import argparse
+
+    from scripts.code_search import cmd_search
+
+    from local_search_engine_spark.functions.tokenize import tokenize_py
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            ("r0", f"phrase_{i}.py", "c0",
+             f"uid{i} alpha beta filler{i % 7} alpha beta end")
+        )
+    for i in range(300):
+        rows.append(
+            (
+                "r1",
+                f"noise_{i}.py",
+                "c1",
+                f"uidn{i} alpha stop beta " + "gamma " * 6 + f"filler{i % 7}",
+            )
+        )
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    root = str(tmp_path / "root")
+    k = 20
+    out = cmd_search(
+        spark, corpus, argparse.Namespace(query='"alpha beta" gamma', index=root, k=k)
+    )
+    res = out["results"]
+    assert len(res) == k, f"expected {k} results, got {len(res)}"
+    assert [r["rank"] for r in res] == list(range(1, k + 1))
+    n_fallback = sum(1 for r in res if r["score"] == 0.0)
+    assert n_fallback > 0, "fallback never triggered — fixture lost its point"
+    by_file = {
+        r["file"]: r["content"]
+        for r in corpus.selectExpr(
+            "concat_ws(':', repo, path) AS file", "content"
+        ).collect()
+    }
+    for r in res:
+        toks = tokenize_py(by_file[r["file"]])
+        assert any(
+            (a, b) == ("alpha", "beta") for a, b in zip(toks, toks[1:])
+        ), r["file"]
