@@ -120,20 +120,76 @@ def build_pdf(pages: list[str], compress: bool = True) -> bytes:
 _OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+def _xref_numeric_resolver(payload: bytes):
+    """Resolve numeric objects via the classic xref table: follow the
+    LAST `startxref`, parse the subsection offsets, and read the target
+    object at its declared byte offset. Unlike a whole-file regex this
+    cannot be poisoned by stream bytes that merely LOOK like
+    'N 0 obj M endobj' (r05, ADVICE) — an offset is authoritative.
+    Returns a resolve(obj_num) -> int|None callable, or None when the
+    file has no parseable classic xref (linearized/1.5 xref streams
+    fall back to the regex map)."""
+    sx = payload.rfind(b"startxref")
+    if sx == -1:
+        return None
+    m = re.match(rb"startxref\s+(\d+)", payload[sx : sx + 40])
+    if not m:
+        return None
+    at = int(m.group(1))
+    if at < 0 or at >= len(payload) or not payload.startswith(b"xref", at):
+        return None
+    pos = at + 4
+    offsets: dict[int, int] = {}
+    while True:
+        sub = re.match(rb"\s*(\d+)\s+(\d+)\s+", payload[pos : pos + 64])
+        if not sub:
+            break
+        start, count = int(sub.group(1)), int(sub.group(2))
+        pos += sub.end()
+        for i in range(count):
+            ent = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])\s{0,2}", payload[pos : pos + 24])
+            if not ent:
+                return None
+            if ent.group(3) == b"n":
+                offsets[start + i] = int(ent.group(1))
+            pos += ent.end()
+    if not offsets:
+        return None
+
+    def resolve(num: int):
+        off = offsets.get(num)
+        if off is None or off >= len(payload):
+            return None
+        mm = re.match(rb"(\d+)\s+\d+\s+obj\s+(\d+)\s*endobj", payload[off : off + 64])
+        if mm and int(mm.group(1)) == num:
+            return int(mm.group(2))
+        return None
+
+    return resolve
+
+
 def _scan_objects(payload: bytes):
     """Sequential scan → {obj_num: (dict_bytes, stream_bytes|None)}.
 
-    Stream data is sliced by the declared /Length (direct, or an
-    indirect ref resolved against already-seen or later numeric
-    objects) so binary stream bytes can never be misread as object
-    boundaries; if /Length is unresolvable, falls back to the first
-    `endstream` (documented approximation)."""
-    # numeric objects (stream /Length targets) — these contain no
-    # streams, so a global regex is safe for them
-    numerics = {
-        int(m.group(1)): int(m.group(2))
-        for m in re.finditer(rb"(\d+)\s+\d+\s+obj\s+(\d+)\s+endobj", payload)
-    }
+    Stream data is sliced by the declared /Length — direct, or an
+    indirect ref resolved FIRST against the xref table (authoritative
+    byte offsets, immune to stream-content lookalikes) and only then
+    against a whole-file numeric-object regex (xref-less fallback) —
+    so binary stream bytes can never be misread as object boundaries;
+    if /Length is unresolvable, falls back to the first `endstream`
+    (documented approximation)."""
+    xref_resolve = _xref_numeric_resolver(payload)
+    # regex fallback map, built lazily: only needed when the file has
+    # no usable xref (and then only for indirect-length streams)
+    numerics_cache: list[dict | None] = [None]
+
+    def regex_numeric(num: int):
+        if numerics_cache[0] is None:
+            numerics_cache[0] = {
+                int(m.group(1)): int(m.group(2))
+                for m in re.finditer(rb"(\d+)\s+\d+\s+obj\s+(\d+)\s+endobj", payload)
+            }
+        return numerics_cache[0].get(num)
     objs: dict[int, tuple[bytes, bytes | None]] = {}
     pos = 0
     while True:
@@ -153,9 +209,13 @@ def _scan_objects(payload: bytes):
             lm = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", head)
             length = None
             if lm:
-                length = (
-                    numerics.get(int(lm.group(1))) if lm.group(2) else int(lm.group(1))
-                )
+                if lm.group(2):  # indirect ref: xref first, regex fallback
+                    ref = int(lm.group(1))
+                    length = xref_resolve(ref) if xref_resolve else None
+                    if length is None:
+                        length = regex_numeric(ref)
+                else:
+                    length = int(lm.group(1))
             if length is None:
                 data_end = payload.find(b"endstream", data_at)
                 length = (data_end if data_end != -1 else len(payload)) - data_at

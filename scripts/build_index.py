@@ -52,27 +52,38 @@ def main() -> None:
 
     spark = get_spark("build-index", cores=args.cores)
     corpus = read_corpus(spark, args.corpus, args.format)
+    decoded_cached = None
     if args.pdf_col:
         from pyspark.sql import functions as F
 
         from local_search_engine_spark.operators.multimodal import pdf_to_text
 
-        decoded = pdf_to_text(corpus, payload_col=args.pdf_col, out_col="content")
-        n_bad = decoded.filter(~F.col("extract_ok")).count()
+        # persist the decoded frame (memory-and-disk) so the bad-row
+        # count and the index build share ONE pdf_to_text pass — the
+        # mapInPandas decode is the most expensive stage here and an
+        # uncached plan re-parses every PDF for each action (r05, ADVICE)
+        decoded_cached = pdf_to_text(
+            corpus, payload_col=args.pdf_col, out_col="content"
+        ).persist()
+        n_bad = decoded_cached.filter(~F.col("extract_ok")).count()
         if n_bad:
             print(f"skipping {n_bad} rows with unsupported PDF codecs", file=sys.stderr)
-        corpus = decoded.filter("extract_ok").drop("n_pages", "extract_ok")
+        corpus = decoded_cached.filter("extract_ok").drop("n_pages", "extract_ok")
     t0 = time.time()
-    build_persisted_index(
-        spark,
-        corpus,
-        args.index,
-        params=BM25Params(k1=args.k1, b=args.b, epsilon=args.epsilon),
-        docs_per_shard=args.docs_per_shard,
-        block_span=args.block_span,
-        n_buckets=args.n_buckets,
-        n_groups=args.n_groups,
-    )
+    try:
+        build_persisted_index(
+            spark,
+            corpus,
+            args.index,
+            params=BM25Params(k1=args.k1, b=args.b, epsilon=args.epsilon),
+            docs_per_shard=args.docs_per_shard,
+            block_span=args.block_span,
+            n_buckets=args.n_buckets,
+            n_groups=args.n_groups,
+        )
+    finally:
+        if decoded_cached is not None:
+            decoded_cached.unpersist()
     wall = time.time() - t0
     with open(os.path.join(args.index, "stats.json")) as f:
         stats = json.load(f)

@@ -274,3 +274,49 @@ def test_pdf_corpus_indexes_end_to_end(spark, tmp_path):
     wand = make_wand_topk(idx, postings, shard_meta)
     hits = wand("zanzibar_needle", 5).collect()
     assert len(hits) == 1
+
+
+def test_indirect_length_resolved_via_xref_despite_poison_stream():
+    """r05 (ADVICE): a binary stream whose BYTES look like
+    '6 0 obj 3 endobj' must not poison indirect-/Length resolution.
+    The file carries a classic xref table whose offsets point at the
+    REAL object 6; the old whole-file regex would have matched the
+    poison (later match wins) and truncated the content stream to 3
+    bytes. With xref-first resolution the full text extracts."""
+    c1 = b"BT (hello xref world) Tj ET"
+    poison = b"XX 6 0 obj 3 endobj YY"  # lives INSIDE a stream body
+    body: dict[int, bytes] = {}
+    body[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    body[2] = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    body[3] = b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    body[4] = b"<< /Length 6 0 R >>\nstream\n" + c1 + b"\nendstream"
+    body[5] = (
+        b"<< /Length " + str(len(poison)).encode() + b" >>\nstream\n"
+        + poison + b"\nendstream"
+    )
+    body[6] = str(len(c1)).encode()
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(body):
+        offsets[num] = len(buf)
+        buf += f"{num} 0 obj\n".encode() + body[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 7\n" + b"0000000000 65535 f \n"
+    for num in range(1, 7):
+        buf += f"{offsets[num]:010d} 00000 n \n".encode()
+    buf += (
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\n"
+        + f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    text, n_pages, ok = extract_pdf_text(bytes(buf))
+    assert ok and n_pages == 1 and text == "hello xref world", (ok, n_pages, text)
+
+    # the regex fallback must still work when the xref is absent: strip
+    # the table (and the poison object, which would defeat the regex)
+    nox: dict[int, bytes] = {k: v for k, v in body.items() if k != 5}
+    buf2 = bytearray(b"%PDF-1.4\n")
+    for num in sorted(nox):
+        buf2 += f"{num} 0 obj\n".encode() + nox[num] + b"\nendobj\n"
+    buf2 += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    text2, n2, ok2 = extract_pdf_text(bytes(buf2))
+    assert ok2 and n2 == 1 and text2 == "hello xref world"
