@@ -2350,6 +2350,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      index; proximity variant pytest-only
                                      in tests/test_positional.py).
 
+    Round-5 changes (no slots moved):
+
+      * code_symbols / pack_sequences / multimodal_meta_real — the
+        array-typed output columns (doc_ids, sampled_frames) are now
+        comma-joined STRINGS on both sides: the driver's pandas-sort
+        canonicalizer crashes on array cells (all three gates ERR'd at
+        the r04 driver with locally-correct values). A registry lint
+        (tests/test_registry_lint.py) now rejects any
+        array/map/struct column in queries() output, and
+        scripts/check_gate.py canonicalizes exactly like the driver.
+      * phrase_positional_topk gains mode='percolate' row families:
+        the standing-query percolator (streaming/percolate.py batch
+        twin) matches the SAME phrases index-free — full match set, no
+        k cut, rank re-derived under the shared (cnt DESC, doc_id)
+        rule, plus an OOV phrase pinned to zero rows on both sides.
+
     The 12 gates the r02 driver window missed lead the dict; every cut
     gate's callable remains tested in tests/ (see SURVEY.md §8)."""
     return {
