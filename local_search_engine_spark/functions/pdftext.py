@@ -403,9 +403,15 @@ def extract_pdf_text(payload: bytes) -> tuple[str, int, bool]:
     per-page extraction, pages joined with a single space.
 
     extract_ok=False when any page's content uses a filter outside the
-    raw/FlateDecode subset or fails to decompress; such pages contribute
-    no text but still count toward n_pages."""
+    raw/FlateDecode subset or fails to decompress (such pages contribute
+    no text but still count toward n_pages), AND for payloads with no
+    parseable PDF objects at all (r05): junk bytes are not "a PDF with
+    zero pages", and callers like build_index --pdf-col use the flag to
+    skip rows rather than silently index them as empty documents. A
+    genuine zero-page PDF (catalog + empty /Kids) still reads ok=True."""
     objs = _scan_objects(payload)
+    if not objs:
+        return "", 0, False
     page_nums = _page_order(objs)
     texts, ok = [], True
     for pnum in page_nums:

@@ -159,9 +159,14 @@ def test_nested_pages_tree_document_order():
 
 
 def test_garbage_input_degrades_gracefully():
+    # objectless junk is flagged extract_ok=False (r05) so --pdf-col
+    # callers skip it instead of indexing an empty document
     for junk in (b"", b"not a pdf at all", b"%PDF-1.4\ngarbage\n%%EOF"):
         text, n_pages, ok = extract_pdf_text(junk)
-        assert text == "" and n_pages == 0
+        assert text == "" and n_pages == 0 and not ok
+    # a GENUINE zero-page PDF stays ok=True
+    text, n_pages, ok = extract_pdf_text(build_pdf([]))
+    assert text == "" and n_pages == 0 and ok
 
 
 def _wrap_single_stream(content: bytes) -> bytes:
