@@ -177,71 +177,79 @@ def build_positional_postings(
     )
 
     def encode_group(pdf):
-        import pandas as pd
-
-        from ..functions.codec import encode_vb_sliced
-
-        cols = [
-            "term", "term_bucket", "part_id", "block_id", "n",
-            "first_doc_id", "last_doc_id", "doc_ids_vb", "tfs_vb", "pos_vb",
-        ]
-        if pdf.empty:
-            return pd.DataFrame(columns=cols)
-        pdf = pdf.sort_values(["term", "doc_id"])
-        # composite phrase keys are doc_id·2^32 + pos in (u)int64 — ids
-        # must fit 31 bits for the proximity path's signed arithmetic.
-        # Dense engine ids (operators.build.with_doc_ids) always do;
-        # sparse schemes (monotonically_increasing_id packs the
-        # partition id into bits 33+) would silently corrupt matches,
-        # so fail the build loudly instead.
-        if int(pdf["doc_id"].max()) >= 1 << 31 or int(pdf["doc_id"].min()) < 0:
-            raise ValueError(
-                "positional postings require 0 <= doc_id < 2^31 (composite "
-                "phrase-key arithmetic: negative ids wrap on the uint64 "
-                "cast, big ids overflow the signed proximity math); re-id "
-                "the corpus with dense ids (operators.build.with_doc_ids) "
-                "before indexing"
-            )
-        bucket = int(pdf["term_bucket"].iloc[0])
-        part = int(pdf["part_id"].iloc[0])
-        terms = pdf["term"].to_numpy()
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        pos_bytes = pdf["posting_pos_vb"].to_numpy(object)
-        block_ids = doc_ids // span
-        n = doc_ids.size
-        new_run = np.empty(n, dtype=bool)
-        new_run[0] = True
-        new_run[1:] = (terms[1:] != terms[:-1]) | (block_ids[1:] != block_ids[:-1])
-        run_starts = np.flatnonzero(new_run)
-        run_ends = np.append(run_starts[1:], n)
-        deltas = np.empty(n, dtype=np.int64)
-        deltas[0] = 0
-        deltas[1:] = np.diff(doc_ids)
-        deltas[run_starts] = doc_ids[run_starts] - block_ids[run_starts] * span
-        doc_vbs = encode_vb_sliced(deltas.astype(np.uint64), run_starts)
-        tf_vbs = encode_vb_sliced(tfs.astype(np.uint64), run_starts)
-        pos_vbs = [
-            b"".join(pos_bytes[s:e]) for s, e in zip(run_starts, run_ends)
-        ]
-        return pd.DataFrame(
-            {
-                "term": terms[run_starts],
-                "term_bucket": bucket,
-                "part_id": part,
-                "block_id": block_ids[run_starts],
-                "n": (run_ends - run_starts).astype(np.int32),
-                "first_doc_id": doc_ids[run_starts],
-                "last_doc_id": doc_ids[run_ends - 1],
-                "doc_ids_vb": doc_vbs,
-                "tfs_vb": tf_vbs,
-                "pos_vb": pos_vbs,
-            },
-            columns=cols,
-        )
+        return _encode_pos_group(pdf, span)
 
     return keyed.groupBy("term_bucket", "part_id").applyInPandas(
         encode_group, POS_POSTINGS_SCHEMA
+    )
+
+
+def _encode_pos_group(pdf, span: int):
+    """Canonical (term_bucket, part_id) run encoder over per-posting
+    rows (term, doc_id, tf, posting_pos_vb) — shared by the build path
+    and compaction, so a compacted index is BYTE-identical to a fresh
+    build's encoding of the same postings."""
+    import pandas as pd
+
+    from ..functions.codec import encode_vb_sliced
+
+    cols = [
+        "term", "term_bucket", "part_id", "block_id", "n",
+        "first_doc_id", "last_doc_id", "doc_ids_vb", "tfs_vb", "pos_vb",
+    ]
+    if pdf.empty:
+        return pd.DataFrame(columns=cols)
+    pdf = pdf.sort_values(["term", "doc_id"])
+    # composite phrase keys are doc_id·2^32 + pos in (u)int64 — ids
+    # must fit 31 bits for the proximity path's signed arithmetic.
+    # Dense engine ids (operators.build.with_doc_ids) always do;
+    # sparse schemes (monotonically_increasing_id packs the
+    # partition id into bits 33+) would silently corrupt matches,
+    # so fail the build loudly instead.
+    if int(pdf["doc_id"].max()) >= 1 << 31 or int(pdf["doc_id"].min()) < 0:
+        raise ValueError(
+            "positional postings require 0 <= doc_id < 2^31 (composite "
+            "phrase-key arithmetic: negative ids wrap on the uint64 "
+            "cast, big ids overflow the signed proximity math); re-id "
+            "the corpus with dense ids (operators.build.with_doc_ids) "
+            "before indexing"
+        )
+    bucket = int(pdf["term_bucket"].iloc[0])
+    part = int(pdf["part_id"].iloc[0])
+    terms = pdf["term"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    pos_bytes = pdf["posting_pos_vb"].to_numpy(object)
+    block_ids = doc_ids // span
+    n = doc_ids.size
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (terms[1:] != terms[:-1]) | (block_ids[1:] != block_ids[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_ends = np.append(run_starts[1:], n)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = np.diff(doc_ids)
+    deltas[run_starts] = doc_ids[run_starts] - block_ids[run_starts] * span
+    doc_vbs = encode_vb_sliced(deltas.astype(np.uint64), run_starts)
+    tf_vbs = encode_vb_sliced(tfs.astype(np.uint64), run_starts)
+    pos_vbs = [
+        b"".join(pos_bytes[s:e]) for s, e in zip(run_starts, run_ends)
+    ]
+    return pd.DataFrame(
+        {
+            "term": terms[run_starts],
+            "term_bucket": bucket,
+            "part_id": part,
+            "block_id": block_ids[run_starts],
+            "n": (run_ends - run_starts).astype(np.int32),
+            "first_doc_id": doc_ids[run_starts],
+            "last_doc_id": doc_ids[run_ends - 1],
+            "doc_ids_vb": doc_vbs,
+            "tfs_vb": tf_vbs,
+            "pos_vb": pos_vbs,
+        },
+        columns=cols,
     )
 
 
@@ -356,6 +364,121 @@ def append_positional_postings(
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def compact_positional_postings(spark, path: str) -> dict:
+    """Compact a persisted positional index after tail-appends.
+
+    Every append writes its own parquet files per touched term_bucket
+    and opens fresh (term, block) runs at the append boundary — correct
+    (the read path merges runs by (block_id, first_doc_id)), but after
+    N appends a bucket holds O(N) small files and a hot term's postings
+    fragment into O(N) runs. At cluster scale that's the classic
+    small-files + run-fragmentation tax: more files to list/open, more
+    runs to heap-merge per query. Compaction rewrites each
+    (term_bucket, part_id) group through the SAME canonical encoder the
+    build path uses (_encode_pos_group) — decode runs back to
+    per-posting rows (no text re-tokenization: positions are already in
+    the index), re-encode, atomically swap the directory — so the
+    compacted index is equal to a from-scratch build over the same
+    corpus (row-identical runs, test-pinned), with one parquet file
+    set per bucket.
+
+    One shuffle (the groupBy), O(index) work, zero corpus reads.
+    Swap protocol is the IVF-retrain one: write <path>.compact →
+    rename away the live dir → rename the new one in → heal _meta.json
+    (max_doc_id re-derived from the rewritten parquet) → drop the old
+    dir. Returns {n_runs_before, n_runs_after, n_files_before,
+    n_files_after}.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+
+    meta = load_positional_meta(path)
+    if meta is None:
+        raise ValueError(f"{path} has no _meta.json — not a persisted positional index")
+    span = int(meta["block_span"])
+
+    def count_files(p):
+        return len(glob.glob(os.path.join(p, "term_bucket=*", "*.parquet")))
+
+    posts = spark.read.parquet(path)
+    n_runs_before = posts.count()
+    n_files_before = count_files(path)
+
+    def recompact(pdf):
+        import pandas as pd
+
+        if pdf.empty:
+            return _encode_pos_group(pdf, span)
+        bucket = int(pdf["term_bucket"].iloc[0])
+        part = int(pdf["part_id"].iloc[0])
+        ids_parts, term_parts, tf_parts, delta_parts = [], [], [], []
+        for row in pdf.itertuples(index=False):
+            from ..functions.codec import decode_block
+
+            base = int(row.block_id) * span
+            docs, tfs = decode_block(row.doc_ids_vb, row.tfs_vb, base)
+            pos = decode_positions(row.pos_vb, tfs)
+            # re-derive per-posting deltas (first absolute, then diffs)
+            seg_starts = np.concatenate(
+                ([0], np.cumsum(tfs.astype(np.int64))[:-1])
+            ).astype(np.int64)
+            deltas = pos.astype(np.int64).copy()
+            if deltas.size:
+                deltas[1:] -= pos[:-1]
+                deltas[seg_starts] = pos[seg_starts]
+            ids_parts.append(docs.astype(np.int64))
+            term_parts.append(np.full(docs.size, row.term, dtype=object))
+            tf_parts.append(tfs.astype(np.int64))
+            delta_parts.append(deltas)
+        from ..functions.codec import encode_vb_sliced
+
+        all_tfs = np.concatenate(tf_parts)
+        posting_starts = np.concatenate(([0], np.cumsum(all_tfs)[:-1])).astype(np.int64)
+        pos_vbs = encode_vb_sliced(
+            np.concatenate(delta_parts).astype(np.uint64), posting_starts
+        )
+        flat = pd.DataFrame(
+            {
+                "doc_id": pd.Series(np.concatenate(ids_parts), dtype="int64"),
+                "term": np.concatenate(term_parts),
+                "tf": pd.Series(all_tfs, dtype="int64"),
+                "posting_pos_vb": pos_vbs,
+                "term_bucket": bucket,
+                "part_id": part,
+            }
+        )
+        return _encode_pos_group(flat, span)
+
+    tmp = path.rstrip("/") + ".compact"
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    compacted = posts.groupBy("term_bucket", "part_id").applyInPandas(
+        recompact, POS_POSTINGS_SCHEMA
+    )
+    compacted.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+    n_runs_after = spark.read.parquet(tmp).count()
+    meta_bytes = json.dumps(meta)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    from pyspark.sql import functions as F
+
+    mx = spark.read.parquet(path).agg(F.max("last_doc_id").alias("m")).first()["m"]
+    meta = json.loads(meta_bytes)
+    meta["max_doc_id"] = int(mx) if mx is not None else -1
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "n_runs_before": int(n_runs_before),
+        "n_runs_after": int(n_runs_after),
+        "n_files_before": n_files_before,
+        "n_files_after": count_files(path),
+    }
 
 
 def _shard_term_runs(posts_pdf):

@@ -270,3 +270,80 @@ def test_persisted_index_prunes_and_agrees(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, q_mem("table scan", k=10).collect())
     )
+
+
+def test_compaction_equals_fresh_rebuild(spark, tmp_path):
+    """r05: after several tail-appends, compact_positional_postings
+    rewrites each (bucket, shard) group through the canonical encoder —
+    the compacted index must be ROW-IDENTICAL to a fresh build over the
+    whole corpus (same runs, same encoded bytes), shrink the parquet
+    file count, keep every phrase/proximity result bit-exact, and stay
+    appendable afterwards."""
+    from local_search_engine_spark.operators.positional import (
+        append_positional_postings,
+        compact_positional_postings,
+        load_positional_meta,
+    )
+
+    rows = _gen_rows(80, seed=29)
+    params = {"docs_per_shard": 24, "block_span": 8, "n_buckets": 8}
+    path = str(tmp_path / "pos_idx")
+    persist_positional_postings(
+        build_positional_postings(
+            spark.createDataFrame(rows[:30], "doc_id long, text string"), **params
+        ),
+        path,
+        params=params,
+    )
+    for lo, hi in ((30, 50), (50, 70), (70, len(rows))):
+        append_positional_postings(
+            spark, path,
+            spark.createDataFrame(rows[lo:hi], "doc_id long, text string"),
+        )
+    q_before = make_phrase_topk(
+        load_positional_postings(spark, path), block_span=8, n_buckets=8
+    )
+    want = {
+        ph: sorted(map(tuple, q_before(ph, 1000).collect())) for ph in PHRASES
+    }
+    want_near = sorted(map(tuple, q_before.near("table scan", 1000, 3).collect()))
+
+    info = compact_positional_postings(spark, path)
+    assert info["n_files_after"] < info["n_files_before"], info
+    assert info["n_runs_after"] <= info["n_runs_before"], info
+
+    # row-identical to a fresh build over the whole corpus
+    fresh = build_positional_postings(
+        spark.createDataFrame(rows, "doc_id long, text string"), **params
+    )
+    cols = ["term", "term_bucket", "part_id", "block_id", "n",
+            "first_doc_id", "last_doc_id", "doc_ids_vb", "tfs_vb", "pos_vb"]
+    got_rows = sorted(
+        map(tuple, spark.read.parquet(path).select(cols).collect())
+    )
+    fresh_rows = sorted(map(tuple, fresh.select(cols).collect()))
+    assert got_rows == fresh_rows
+    assert len(got_rows) == info["n_runs_after"]
+
+    # queries bit-exact across the compaction
+    q_after = make_phrase_topk(
+        load_positional_postings(spark, path), block_span=8, n_buckets=8
+    )
+    for ph in PHRASES:
+        assert sorted(map(tuple, q_after(ph, 1000).collect())) == want[ph], ph
+    assert sorted(map(tuple, q_after.near("table scan", 1000, 3).collect())) == want_near
+
+    # meta healed and the index still appendable
+    meta = load_positional_meta(path)
+    assert meta["max_doc_id"] == max(d for d, _ in rows)
+    extra = [(meta["max_doc_id"] + 1, "table scan table")]
+    m2 = append_positional_postings(
+        spark, path, spark.createDataFrame(extra, "doc_id long, text string")
+    )
+    assert m2["max_doc_id"] == extra[0][0]
+    got = sorted(
+        map(tuple, make_phrase_topk(
+            load_positional_postings(spark, path), block_span=8, n_buckets=8
+        )("table scan", 1000).collect())
+    )
+    assert any(r[1] == extra[0][0] for r in got), got  # (rank, doc_id, tf)
