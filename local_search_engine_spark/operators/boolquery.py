@@ -1,0 +1,438 @@
+"""Boolean query language over the inverted/positional indexes.
+
+The reference exposes only free-text BM25 ("OR of terms",
+reference retriever.py:363-415) plus a post-hoc quoted-phrase substring
+filter (reference retriever.py:1040-1072). A full-text index, however,
+is queried with BOOLEAN structure — `fast AND scan AND NOT merge`,
+`"spark window" OR table` — so this module adds the classic operator
+the reference's users reach for first when free text is too loose:
+
+    expr  := or ;  or := and (OR and)* ;  and := not (AND? not)*
+    not   := NOT not | atom ;  atom := '(' expr ')' | "phrase" | term
+
+(implicit AND between adjacent atoms, keywords case-insensitive,
+quoted strings are exact-phrase leaves matched by the POSITIONAL
+index, bare terms run through the shared engine tokenizer).
+
+Spark-first compilation — the whole query is THREE narrow stages and
+ONE shuffle, regardless of how many leaves it has:
+
+  1. every TERM leaf in one plan: broadcast (leaf_id, term) ⋈ index.tf
+     (the `term IN (...)` filter pushes into the Parquet scan);
+  2. every PHRASE leaf in one plan: positional matches_set — one
+     bucket-pruned postings scan + one part_id shuffle for the whole
+     phrase set (operators/positional.py);
+  3. union → groupBy(doc_id).agg(collect_set(leaf_id)) — the ONLY
+     query-shaped shuffle — then the boolean tree is evaluated as a
+     pure built-in Column over the per-doc matched-leaf set
+     (array_contains AND/OR/NOT), fully codegen'd, no Python at
+     match time.
+
+NOT needs a universe: a doc matching ZERO leaves never reaches the
+aggregate, so if the expression is satisfiable with all leaves false
+(`NOT foo`, `a OR NOT b`) the plan left-joins from index.docs (a full
+doc-id scan — unavoidable for a non-restrictive predicate, and the
+docs projection is two columns). Restrictive queries (the common
+case) never touch the docs table: the result domain is driven
+entirely by the index. At 100 TB this means a boolean query costs
+O(postings of its leaves) + one shuffle of the candidate doc set —
+the same asymptotics as a hand-written intersection, but AQE-planned.
+
+OOV leaves simply never match (they don't join): `fast AND zzz` is
+empty, `fast OR zzz` ≡ `fast`, `fast AND NOT zzz` ≡ `fast` — the
+Lucene semantics. Atoms whose analysis is empty (e.g. a 1-char token
+the shared tokenizer drops) are PRUNED as Lucene prunes stopword-only
+clauses: an AND loses the clause, an OR loses the branch, a query
+that prunes to nothing matches everything restricted by what remains
+(match-all if nothing remains).
+
+Ranking: topk() scores the boolean survivors by BM25 over the
+POSITIVE leaves' token multiset (terms + phrase constituents; leaves
+under an odd number of NOTs contribute nothing), reusing
+operators/query.score_terms — so `"fast scan" AND NOT merge` ranks
+exactly like the free-text query `fast scan` restricted to the
+boolean doc set. Docs matching only by NOT (no positive token)
+score 0.0 and tie-break by doc_id.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass
+
+from ..functions.tokenize import tokenize_py
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    tokens: tuple  # tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class Bool:
+    """Constant node — the residue of pruning empty-analysis atoms."""
+
+    value: bool
+
+
+_TOKEN_RE = re.compile(r'"([^"]*)"|(\()|(\))|([^\s()"]+)')
+
+
+class BoolQuerySyntaxError(ValueError):
+    pass
+
+
+def parse_query(text: str):
+    """Parse the boolean query language into an AST (see module doc).
+
+    Raises BoolQuerySyntaxError on unbalanced parens / dangling
+    operators; returns Bool(True) for a query that analyzes to nothing
+    (match-all, mirroring Lucene's pruned-clause behavior).
+    """
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        if text[pos : m.start()].strip():
+            raise BoolQuerySyntaxError(
+                f"unexpected character at {pos}: {text[pos:m.start()]!r}"
+            )
+        pos = m.end()
+        if m.group(1) is not None:
+            toks.append(("phrase", m.group(1)))
+        elif m.group(2):
+            toks.append(("(", "("))
+        elif m.group(3):
+            toks.append((")", ")"))
+        else:
+            w = m.group(4)
+            up = w.upper()
+            if up in ("AND", "OR", "NOT"):
+                toks.append((up, w))
+            else:
+                toks.append(("word", w))
+    if text[pos:].strip():
+        raise BoolQuerySyntaxError(f"unexpected character at {pos}")
+
+    i = 0
+
+    def peek():
+        return toks[i][0] if i < len(toks) else None
+
+    def expr():
+        nonlocal i
+        node = and_expr()
+        parts = [node]
+        while peek() == "OR":
+            i += 1
+            parts.append(and_expr())
+        return _mk_or(parts) if len(parts) > 1 else node
+
+    def and_expr():
+        nonlocal i
+        parts = [not_expr()]
+        while True:
+            t = peek()
+            if t == "AND":
+                i += 1
+                parts.append(not_expr())
+            elif t in ("NOT", "word", "phrase", "("):
+                parts.append(not_expr())  # implicit AND
+            else:
+                break
+        return _mk_and(parts) if len(parts) > 1 else parts[0]
+
+    def not_expr():
+        nonlocal i
+        if peek() == "NOT":
+            i += 1
+            return _mk_not(not_expr())
+        return atom()
+
+    def atom():
+        nonlocal i
+        t = peek()
+        if t == "(":
+            i += 1
+            node = expr()
+            if peek() != ")":
+                raise BoolQuerySyntaxError("unbalanced '('")
+            i += 1
+            return node
+        if t == "phrase":
+            analyzed = tuple(tokenize_py(toks[i][1]))
+            i += 1
+            if not analyzed:
+                return Bool(True)  # pruned clause
+            if len(analyzed) == 1:
+                return Term(analyzed[0])
+            return Phrase(analyzed)
+        if t == "word":
+            analyzed = tokenize_py(toks[i][1])
+            i += 1
+            if not analyzed:
+                return Bool(True)  # pruned clause
+            if len(analyzed) == 1:
+                return Term(analyzed[0])
+            # a bare word the analyzer splits (e.g. "foo-bar") is an
+            # implicit phrase, as Lucene's query parser does
+            return Phrase(tuple(analyzed))
+        raise BoolQuerySyntaxError(f"expected a term, got {toks[i] if i < len(toks) else 'end of query'}")
+
+    if not toks:
+        return Bool(True)
+    node = expr()
+    if i != len(toks):
+        raise BoolQuerySyntaxError(f"trailing tokens at {i}: {toks[i:]}")
+    return node
+
+
+def _mk_and(parts):
+    kept = []
+    for p in parts:
+        if isinstance(p, Bool):
+            if not p.value:
+                return Bool(False)
+            continue  # True is the AND identity — pruned clause
+        kept.extend(p.children if isinstance(p, And) else (p,))
+    if not kept:
+        return Bool(True)
+    return And(tuple(kept)) if len(kept) > 1 else kept[0]
+
+
+def _mk_or(parts):
+    kept = []
+    for p in parts:
+        if isinstance(p, Bool):
+            if p.value:
+                return Bool(True)
+            continue  # False is the OR identity
+        kept.extend(p.children if isinstance(p, Or) else (p,))
+    if not kept:
+        return Bool(False)
+    return Or(tuple(kept)) if len(kept) > 1 else kept[0]
+
+
+def _mk_not(child):
+    if isinstance(child, Bool):
+        return Bool(not child.value)
+    if isinstance(child, Not):
+        return child.child
+    return Not(child)
+
+
+# --------------------------------------------------------------------------
+# analysis helpers
+# --------------------------------------------------------------------------
+
+
+def collect_leaves(node) -> list:
+    """Unique Term/Phrase leaves in first-appearance order — the leaf_id
+    assignment shared by the compiler and any oracle."""
+    out: list = []
+    seen: set = set()
+
+    def walk(n):
+        if isinstance(n, (Term, Phrase)):
+            if n not in seen:
+                seen.add(n)
+                out.append(n)
+        elif isinstance(n, Not):
+            walk(n.child)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c)
+
+    walk(node)
+    return out
+
+
+def positive_token_counts(node) -> Counter:
+    """Token multiset of leaves under an EVEN number of NOTs — what
+    topk() ranks by. Phrase leaves contribute each constituent token."""
+    counts: Counter = Counter()
+
+    def walk(n, neg: bool):
+        if isinstance(n, Term):
+            if not neg:
+                counts[n.term] += 1
+        elif isinstance(n, Phrase):
+            if not neg:
+                counts.update(n.tokens)
+        elif isinstance(n, Not):
+            walk(n.child, not neg)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c, neg)
+
+    walk(node, False)
+    return counts
+
+
+def satisfiable_all_false(node) -> bool:
+    """Evaluate the AST with every leaf false — True means the query is
+    NON-RESTRICTIVE (a doc matching no leaf can satisfy it) and the
+    plan must range over the full doc universe."""
+    if isinstance(node, Bool):
+        return node.value
+    if isinstance(node, (Term, Phrase)):
+        return False
+    if isinstance(node, Not):
+        return not satisfiable_all_false(node.child)
+    if isinstance(node, And):
+        return all(satisfiable_all_false(c) for c in node.children)
+    if isinstance(node, Or):
+        return any(satisfiable_all_false(c) for c in node.children)
+    raise TypeError(f"unknown node {node!r}")
+
+
+# --------------------------------------------------------------------------
+# compilation
+# --------------------------------------------------------------------------
+
+
+def _leaf_hits(index, node, phrase_query):
+    """(leaf_id int, doc_id long) for every leaf — terms in ONE tf scan,
+    phrases in ONE positional plan. Returns (leaves, DataFrame)."""
+    from pyspark.sql import functions as F
+
+    spark = index.tf.sparkSession
+    leaves = collect_leaves(node)
+    term_leaves = [(i, l.term) for i, l in enumerate(leaves) if isinstance(l, Term)]
+    phrase_leaves = [
+        (i, " ".join(l.tokens)) for i, l in enumerate(leaves) if isinstance(l, Phrase)
+    ]
+    parts = []
+    if term_leaves:
+        lt = spark.createDataFrame(term_leaves, "leaf_id int, term string")
+        # tf is unique per (doc_id, term): no distinct needed
+        parts.append(
+            index.tf.join(F.broadcast(lt), "term").select("leaf_id", "doc_id")
+        )
+    if phrase_leaves:
+        if phrase_query is None:
+            raise ValueError(
+                "query has quoted-phrase leaves but no positional index "
+                "was provided (pass phrase_query=make_phrase_topk(...))"
+            )
+        parts.append(
+            phrase_query.matches_set(phrase_leaves).select(
+                F.col("phrase_id").alias("leaf_id"), "doc_id"
+            )
+        )
+    if not parts:
+        return leaves, spark.createDataFrame([], "leaf_id int, doc_id long")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return leaves, df
+
+
+def _expr_col(node, hits_col):
+    """The AST as a pure built-in boolean Column over the matched-leaf
+    set (leaf_id indices into collect_leaves order)."""
+    from pyspark.sql import functions as F
+
+    leaves = collect_leaves(node)
+    idx_of = {leaf: i for i, leaf in enumerate(leaves)}
+
+    def walk(n):
+        if isinstance(n, Bool):
+            return F.lit(n.value)
+        if isinstance(n, (Term, Phrase)):
+            return F.array_contains(hits_col, idx_of[n])
+        if isinstance(n, Not):
+            return ~walk(n.child)
+        if isinstance(n, And):
+            out = walk(n.children[0])
+            for c in n.children[1:]:
+                out = out & walk(c)
+            return out
+        if isinstance(n, Or):
+            out = walk(n.children[0])
+            for c in n.children[1:]:
+                out = out | walk(c)
+            return out
+        raise TypeError(f"unknown node {n!r}")
+
+    return walk(node)
+
+
+def matches(index, query: str, phrase_query=None):
+    """FILTER shape: every doc satisfying the boolean query —
+    DataFrame(doc_id long, n_hits int) where n_hits = number of
+    distinct leaves (any polarity) occurring in the doc. Unranked,
+    uncapped; feeds joins or topk()."""
+    from pyspark.sql import functions as F
+
+    node = parse_query(query) if isinstance(query, str) else query
+    spark = index.tf.sparkSession
+    if isinstance(node, Bool) and not node.value:
+        return spark.createDataFrame([], "doc_id long, n_hits int")
+    leaves, leaf_df = _leaf_hits(index, node, phrase_query)
+    hits = leaf_df.groupBy("doc_id").agg(F.collect_set("leaf_id").alias("hits"))
+    if satisfiable_all_false(node):
+        # non-restrictive (NOT-dominated) query: range over the full
+        # doc universe; docs with no leaf hit carry the empty set
+        universe = index.docs.select("doc_id")
+        hits = universe.join(hits, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("hits", F.array().cast("array<int>")).alias("hits"),
+        )
+    cond = _expr_col(node, F.col("hits"))
+    return hits.filter(cond).select(
+        "doc_id", F.size("hits").cast("int").alias("n_hits")
+    )
+
+
+def topk(index, query: str, k: int, phrase_query=None):
+    """Boolean filter + BM25 rank: top-k of the boolean survivors scored
+    by score_terms over the positive-leaf token multiset (module doc).
+    DataFrame(rank int, doc_id long, score double) — score rounded to
+    6dp BEFORE ranking (the engine-wide rounded-rank rule)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .query import score_terms
+
+    node = parse_query(query) if isinstance(query, str) else query
+    survivors = matches(index, node, phrase_query=phrase_query)
+    counts = positive_token_counts(node)
+    if counts:
+        scores = score_terms(index, dict(counts))
+        scored = survivors.join(scores, "doc_id", "left").select(
+            "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+    else:
+        scored = survivors.select("doc_id", F.lit(0.0).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("score", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )

@@ -730,7 +730,27 @@ def make_phrase_topk(
         )
         return per_shard.select("doc_id", count_col)
 
+    def matches_set(phrases):
+        """Batch filter shape: EVERY matching doc for EVERY phrase, in
+        ONE plan (one bucket-pruned scan + one shuffle for the whole
+        set) — (phrase_id, doc_id, phrase_tf), unranked and uncapped.
+        phrases: [(phrase_id, text)]. The boolean-query compiler's
+        phrase-leaf source (operators/boolquery.py)."""
+        specs = []
+        for pid, text in phrases:
+            q_terms = tokenizer(text)
+            if q_terms:
+                specs.append((int(pid), q_terms, None))
+        if not specs:
+            return spark.createDataFrame(
+                [], "phrase_id int, doc_id long, phrase_tf long"
+            )
+        return _per_shard_matches(
+            specs, None, "phrase_tf", "phrase_id int, doc_id long, phrase_tf long"
+        )
+
     query.query_set = query_set
     query.near = near
     query.matches = matches
+    query.matches_set = matches_set
     return query

@@ -1,0 +1,237 @@
+"""Boolean query language (operators/boolquery.py): parser shape,
+pruning, precedence; match sets ≡ a brute-force per-doc Python
+evaluator (independent matcher) including n_hits; ranked topk ≡
+boolean-filtered BM25 recomputed driver-side; syntax errors raise."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from local_search_engine_spark.functions.tokenize import tokenize_py
+from local_search_engine_spark.operators.boolquery import (
+    And,
+    Bool,
+    BoolQuerySyntaxError,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    collect_leaves,
+    matches,
+    parse_query,
+    positive_token_counts,
+    satisfiable_all_false,
+    topk,
+)
+from local_search_engine_spark.operators.build import build_index_from
+from local_search_engine_spark.operators.positional import (
+    build_positional_postings,
+    make_phrase_topk,
+)
+from local_search_engine_spark.operators.query import score_terms
+
+VOCAB = ["table", "scan", "agg", "row", "part", "fast", "slow", "io", "x1"]
+N_DOCS = 80
+
+QUERIES = [
+    "table AND scan",
+    "table scan",  # implicit AND
+    "table OR io",
+    "fast AND NOT slow",
+    "NOT table",  # non-restrictive
+    "NOT NOT table",  # double negation
+    "(table OR io) AND NOT (scan OR agg)",
+    "slow OR fast AND row",  # precedence: OR < AND
+    '"table scan" OR io',  # phrase leaf
+    '"fast slow" AND table',
+    '"table table" AND NOT "table table table"',
+    "table AND zzzznotaterm",  # OOV conjunct -> empty
+    "table OR zzzznotaterm",  # OOV disjunct -> identity
+    "table AND NOT zzzznotaterm",  # OOV negation -> identity
+    "NOT zzzznotaterm",  # OOV non-restrictive -> everything
+    "a table",  # 'a' analyzes empty -> pruned clause
+    "x1 AND (io OR (fast AND NOT (slow OR agg)))",
+]
+
+
+def _gen_rows(n_docs: int, seed: int = 13):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        words = [rng.choice(VOCAB) for _ in range(rng.randint(0, 30))]
+        rows.append((i, " ".join(words)))
+    rows += [
+        (n_docs, ""),
+        (n_docs + 1, "table"),
+        (n_docs + 2, "table table table table"),
+        (n_docs + 3, "fast slow fast slow"),
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = _gen_rows(N_DOCS)
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    idx = build_index_from(df, text_col="text")
+    pos = build_positional_postings(
+        df, docs_per_shard=16, block_span=8, n_buckets=8
+    )
+    pq = make_phrase_topk(pos, block_span=8, n_buckets=8)
+    return rows, idx, pq
+
+
+# --------------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------------
+
+
+def test_parse_shapes():
+    assert parse_query("table AND scan") == And((Term("table"), Term("scan")))
+    assert parse_query("table scan") == And((Term("table"), Term("scan")))
+    assert parse_query("not table") == Not(Term("table"))
+    # precedence: OR binds loosest
+    assert parse_query("slow OR fast AND row") == Or(
+        (Term("slow"), And((Term("fast"), Term("row"))))
+    )
+    assert parse_query('"table scan" OR io') == Or(
+        (Phrase(("table", "scan")), Term("io"))
+    )
+    # analyzer runs inside the parser: case-fold + short-token drop
+    assert parse_query("TABLE") == Term("table")
+    assert parse_query("a") == Bool(True)
+    assert parse_query("a AND table") == Term("table")
+    assert parse_query("a OR table") == Bool(True)
+    # a bare word the analyzer splits becomes an implicit phrase
+    assert parse_query("fast-slow") == Phrase(("fast", "slow"))
+    # double negation collapses
+    assert parse_query("NOT NOT table") == Term("table")
+    assert parse_query("") == Bool(True)
+
+
+def test_parse_errors():
+    for bad in ["(table", "table)", "table AND", "OR table", "AND", "NOT", "table AND OR scan"]:
+        with pytest.raises(BoolQuerySyntaxError):
+            parse_query(bad)
+
+
+def test_static_analysis():
+    n = parse_query('fast AND NOT (slow OR "table scan")')
+    assert collect_leaves(n) == [
+        Term("fast"),
+        Term("slow"),
+        Phrase(("table", "scan")),
+    ]
+    assert positive_token_counts(n) == {"fast": 1}
+    assert not satisfiable_all_false(n)
+    assert satisfiable_all_false(parse_query("NOT table"))
+    assert satisfiable_all_false(parse_query("io OR NOT table"))
+    assert not satisfiable_all_false(parse_query("io AND NOT table"))
+    # NOT NOT phrase is positive again
+    assert positive_token_counts(parse_query('NOT NOT "table scan"')) == {
+        "table": 1,
+        "scan": 1,
+    }
+
+
+# --------------------------------------------------------------------------
+# brute-force twin
+# --------------------------------------------------------------------------
+
+
+def _eval(node, toks: list[str]) -> bool:
+    if isinstance(node, Bool):
+        return node.value
+    if isinstance(node, Term):
+        return node.term in toks
+    if isinstance(node, Phrase):
+        q = list(node.tokens)
+        return any(
+            toks[i : i + len(q)] == q for i in range(len(toks) - len(q) + 1)
+        )
+    if isinstance(node, Not):
+        return not _eval(node.child, toks)
+    if isinstance(node, And):
+        return all(_eval(c, toks) for c in node.children)
+    if isinstance(node, Or):
+        return any(_eval(c, toks) for c in node.children)
+    raise TypeError(node)
+
+
+def _brute_matches(rows, query: str) -> dict[int, int]:
+    node = parse_query(query)
+    leaves = collect_leaves(node)
+    out = {}
+    for doc_id, text in rows:
+        toks = tokenize_py(text)
+        if _eval(node, toks):
+            out[doc_id] = sum(1 for l in leaves if _eval(l, toks))
+    return out
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_matches_equals_bruteforce(setup, query):
+    rows, idx, pq = setup
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in matches(idx, query, phrase_query=pq).collect()
+    }
+    assert got == _brute_matches(rows, query), query
+
+
+def test_oov_identities(setup):
+    rows, idx, pq = setup
+    base = set(_brute_matches(rows, "table"))
+    assert {r["doc_id"] for r in matches(idx, "table OR zzzz").collect()} == base
+    assert {r["doc_id"] for r in matches(idx, "table AND NOT zzzz").collect()} == base
+    assert matches(idx, "table AND zzzz").count() == 0
+    # non-restrictive OOV negation matches the full universe
+    assert matches(idx, "NOT zzzz").count() == len(rows)
+
+
+# --------------------------------------------------------------------------
+# ranked topk
+# --------------------------------------------------------------------------
+
+
+def _brute_topk(rows, idx, query: str, k: int):
+    node = parse_query(query)
+    survivors = set(_brute_matches(rows, query))
+    counts = positive_token_counts(node)
+    scores = {}
+    if counts:
+        scores = {
+            r["doc_id"]: r["score"]
+            for r in score_terms(idx, dict(counts)).collect()
+        }
+    scored = [(d, round(scores.get(d, 0.0), 6)) for d in survivors]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "fast AND NOT slow",
+        '"table scan" OR io',
+        "(table OR io) AND NOT (scan OR agg)",
+        "NOT table",  # pure negative: all scores 0.0, doc_id order
+        "table AND zzzznotaterm",  # empty
+    ],
+)
+def test_topk_equals_filtered_bm25(setup, query):
+    rows, idx, pq = setup
+    k = 12
+    got = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in topk(idx, query, k, phrase_query=pq).collect()
+    ]
+    assert got == _brute_topk(rows, idx, query, k), query
+
+
+def test_phrase_without_positional_index_raises(setup):
+    _, idx, _ = setup
+    with pytest.raises(ValueError, match="positional"):
+        matches(idx, '"table scan"').collect()
