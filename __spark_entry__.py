@@ -163,7 +163,99 @@ SELECT rank, doc_id, score FROM (
 """
 
 
-def _phrase_sql(specs, near_specs=(), perc_specs=()) -> str:
+def _bool_leaf_sql(leaf, style: str) -> str:
+    """One leaf's match set as DISTINCT doc_ids. style='tok': over the
+    zipped-unnest tok(doc_id, t, p) CTE — supports phrase leaves via
+    the positional self-join chain. style='tf': over the BM25 tf CTE
+    (term leaves only)."""
+    from local_search_engine_spark.operators.boolquery import Phrase, Term
+
+    if isinstance(leaf, Term):
+        if style == "tf":
+            return f"SELECT DISTINCT doc_id FROM tf WHERE term = '{leaf.term}'"
+        return f"SELECT DISTINCT doc_id FROM tok WHERE t = '{leaf.term}'"
+    assert isinstance(leaf, Phrase) and style == "tok", leaf
+    toks = leaf.tokens
+    joins = " ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i} "
+        f"AND t{i}.t = '{t}'"
+        for i, t in enumerate(toks[1:], 1)
+    )
+    return (
+        f"SELECT DISTINCT t0.doc_id AS doc_id FROM tok t0 {joins} "
+        f"WHERE t0.t = '{toks[0]}'"
+    )
+
+
+def _bool_set_sql(node, style: str) -> str:
+    """The boolean query's doc set as SQL set algebra — And→INTERSECT,
+    Or→UNION, Not→documents EXCEPT — a structurally independent
+    evaluator of the engine's matched-leaf-bitmask plan."""
+    from local_search_engine_spark.operators.boolquery import (
+        And,
+        Bool,
+        Not,
+        Or,
+        Phrase,
+        Term,
+    )
+
+    if isinstance(node, Bool):
+        return (
+            "SELECT doc_id FROM documents"
+            if node.value
+            else "SELECT doc_id FROM documents WHERE FALSE"
+        )
+    if isinstance(node, (Term, Phrase)):
+        return _bool_leaf_sql(node, style)
+    if isinstance(node, Not):
+        return (
+            "SELECT doc_id FROM documents EXCEPT "
+            f"({_bool_set_sql(node.child, style)})"
+        )
+    op = " INTERSECT " if isinstance(node, And) else " UNION "
+    return op.join(f"({_bool_set_sql(c, style)})" for c in node.children)
+
+
+def _bool_bm25_sql(query_text: str, k: int) -> str:
+    """Ranked-boolean oracle: boolean doc set (set algebra over the tf
+    CTE, term leaves only) LEFT JOIN BM25 raw scores over the
+    positive-leaf token multiset, coalesce 0.0, shared rounded-rank
+    rule — the twin of operators/boolquery.topk."""
+    from local_search_engine_spark.operators.boolquery import (
+        parse_query,
+        positive_token_counts,
+    )
+
+    node = parse_query(query_text)
+    counts = sorted(positive_token_counts(node).items())
+    boolset = _bool_set_sql(node, "tf")
+    if counts:
+        vals = ", ".join(f"('{t}', {c})" for t, c in counts)
+        scored = f"""
+q(term, qtf) AS (VALUES {vals}),
+contrib AS (
+  SELECT tf.doc_id,
+         idf.idf * q.qtf * tf.tf * {BM25_K1 + 1.0}
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len
+                                    / (SELECT avgdl FROM stats))) AS c
+  FROM tf JOIN q USING (term) JOIN idf USING (term) JOIN dl USING (doc_id)),
+raw AS (SELECT doc_id, sum(c) AS raw FROM contrib GROUP BY 1),
+b AS ({boolset}),
+scored AS (SELECT b.doc_id, round(coalesce(r.raw, 0.0), 6) AS score
+           FROM b LEFT JOIN raw r ON r.doc_id = b.doc_id)"""
+    else:
+        scored = f"b AS ({boolset}), scored AS (SELECT doc_id, 0.0 AS score FROM b)"
+    return f"""
+WITH {_BM25_CTES},
+{scored}
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id)::int AS rank, doc_id, score
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+def _phrase_sql(specs, near_specs=(), perc_specs=(), bool_specs=()) -> str:
     """Top-k exact-phrase + proximity oracle: positions are re-derived
     by a ZIPPED UNNEST over the shared tokenizer (token i ↔ ordinal i).
     A phrase [t0..t_{L-1}] (mode='phrase') matches where tok(p+i)=t_i
@@ -218,6 +310,33 @@ def _phrase_sql(specs, near_specs=(), perc_specs=()) -> str:
             f"SELECT 'percolate' AS mode, {pid}::int AS phrase_id, "
             f"t0.doc_id AS doc_id, count(*)::bigint AS cnt FROM tok t0 {joins} "
             f"WHERE t0.t = '{toks[0]}' GROUP BY 1, 2, 3"
+        )
+    # mode='bool' (r05): boolean queries — each leaf's doc set derived
+    # independently over tok, combined with SQL set ops; cnt = number
+    # of distinct leaves present (any polarity). Full match set.
+    from local_search_engine_spark.operators.boolquery import (
+        collect_leaves as _bq_leaves,
+    )
+    from local_search_engine_spark.operators.boolquery import (
+        parse_query as _bq_parse,
+    )
+
+    for pid, qtext in bool_specs:
+        node = _bq_parse(qtext)
+        kvals.append(f"('bool', {pid}, 2147483647)")
+        leaves = _bq_leaves(node)
+        if leaves:
+            leaf_union = " UNION ALL ".join(
+                f"SELECT doc_id FROM ({_bool_leaf_sql(l, 'tok')})" for l in leaves
+            )
+        else:
+            leaf_union = "SELECT NULL::bigint AS doc_id WHERE FALSE"
+        parts.append(
+            f"SELECT 'bool' AS mode, {pid}::int AS phrase_id, m.doc_id, "
+            f"coalesce(h.cnt, 0)::bigint AS cnt "
+            f"FROM ({_bool_set_sql(node, 'tok')}) m "
+            f"LEFT JOIN (SELECT doc_id, count(*)::bigint AS cnt "
+            f"FROM ({leaf_union}) GROUP BY 1) h ON h.doc_id = m.doc_id"
         )
     union = " UNION ALL ".join(parts)
     return f"""
@@ -590,6 +709,30 @@ PERC_SPECS = [
 POS_DOCS_PER_SHARD = 1000
 POS_BLOCK_SPAN = 256
 POS_N_BUCKETS = 16
+# boolean-query rows (mode='bool', r05) ride the phrase gate: FULL
+# match sets (no k cut) of operators/boolquery.py queries, cnt =
+# n_hits (distinct leaves present in the doc, any polarity). The
+# oracle recomputes each leaf set independently over the zipped-unnest
+# tok CTE and combines with SQL INTERSECT/UNION/EXCEPT — a genuinely
+# independent boolean evaluator. pid 3 is an OOV conjunction (empty
+# both sides); pid 4 is a NON-RESTRICTIVE tautology (full universe,
+# exercising the docs-table left join + cnt 0 rows).
+BOOL_SPECS = [
+    (0, "fast AND scan AND NOT merge"),
+    (1, '"spark window" OR "fast table"'),
+    (2, "(table OR row) AND NOT (scan OR agg)"),
+    (3, "vector AND zzzznotaterm"),
+    (4, "table OR NOT table"),
+]
+# ranked boolean rows ride bm25_batch (query_id 100+): boolean filter
+# + BM25 over the positive-leaf token multiset, shared rounded-rank
+# rule. Term-only queries (the phrase-leaf path is hash-gated by the
+# mode='bool' rows above; ranking adds only the score join).
+BOOLRANK_SPECS = [
+    (100, "fast AND merge AND NOT join", 10),
+    (101, "(customer OR order) AND NOT line", 15),
+    (102, "table OR NOT table", 10),
+]
 
 
 # ---------------------------------------------------------------------------
@@ -621,12 +764,23 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("query_id"),
     )
-    return (
+    out = (
         raw.withColumn("score", F.round("score", 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kcol)
         .select("query_id", "rank", "doc_id", "score")
     )
+    # ranked BOOLEAN rows (query_id 100+, r05): boolean filter + BM25
+    # over the positive-leaf token multiset (operators/boolquery.py)
+    from local_search_engine_spark.operators import boolquery as bq
+
+    for qid, qtext, k in BOOLRANK_SPECS:
+        out = out.unionByName(
+            bq.topk(idx, qtext, k).select(
+                F.lit(qid).alias("query_id"), "rank", "doc_id", "score"
+            )
+        )
+    return out
 
 
 def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1503,6 +1657,26 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("phrase_tf").alias("cnt"),
         )
     )
+    # boolean rows (mode='bool', r05): FULL match sets of boolquery
+    # queries over the SAME positional index (phrase leaves) + the BM25
+    # index's tf table (term leaves); cnt = n_hits. Rank re-derived
+    # under the shared (cnt DESC, doc_id) rule, no k cut.
+    from local_search_engine_spark.operators import boolquery as bq
+
+    idx = _index(spark, sf_dir)
+    bw = Window.partitionBy("phrase_id").orderBy(F.desc("cnt"), F.asc("doc_id"))
+    for pid, qtext in BOOL_SPECS:
+        parts.append(
+            bq.matches(idx, qtext, phrase_query=q)
+            .select(
+                F.lit("bool").alias("mode"),
+                F.lit(pid).cast("int").alias("phrase_id"),
+                "doc_id",
+                F.col("n_hits").cast("long").alias("cnt"),
+            )
+            .withColumn("rank", F.row_number().over(bw).cast("int"))
+            .select("mode", "phrase_id", "rank", "doc_id", "cnt")
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -2436,6 +2610,11 @@ def oracle_sql() -> dict[str, str]:
         batch_sqls.append(
             f"SELECT {qid} AS query_id, rank, doc_id, score FROM ({_bm25_sql(text, k)})"
         )
+    for qid, qtext, k in BOOLRANK_SPECS:
+        batch_sqls.append(
+            f"SELECT {qid} AS query_id, rank, doc_id, score "
+            f"FROM ({_bool_bm25_sql(qtext, k)})"
+        )
     sc_vals = ", ".join(
         f"('{t}', {c})" for t, c in sorted(Counter(tokenize_py(RRF_QUERY)).items())
     )
@@ -3351,7 +3530,7 @@ LEFT JOIN (SELECT id, min(media_type) AS stub_media_type,
 LEFT JOIN ({oracles["pdf_extract_roundtrip"]}) p ON p.id = m.id
 """
     oracles["phrase_positional_topk"] = _phrase_sql(
-        PHRASE_SPECS, NEAR_SPECS, PERC_SPECS
+        PHRASE_SPECS, NEAR_SPECS, PERC_SPECS, BOOL_SPECS
     )
     # ---- round-4 new gates (the r03 pytest-only operator wave) ----
     oracles["trigram_search"] = f"""

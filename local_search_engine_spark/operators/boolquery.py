@@ -429,10 +429,12 @@ def topk(index, query: str, k: int, phrase_query=None):
         )
     else:
         scored = survivors.select("doc_id", F.lit(0.0).alias("score"))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("score", F.round("score", 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", "score")
+    # limit-BEFORE-rank (engine-wide shape): orderBy().limit(k) plans as
+    # TakeOrderedAndProject (a distributed k-heap); the rank window then
+    # sees ≤ k rows, never the full survivor domain
+    order = [F.desc("score"), F.asc("doc_id")]
+    top = scored.withColumn("score", F.round("score", 6)).orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
     )
