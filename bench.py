@@ -104,6 +104,10 @@ def main() -> None:
     _wq = _mpt(_wpos, block_span=64, n_buckets=8)
     _wq.query_set([(0, "warm table", 3)]).collect()
     _wq.near("warm table", 3, window=4).collect()
+    from local_search_engine_spark.operators import boolquery as BQ
+
+    BQ.matches(wi, "warm AND NOT table", phrase_query=_wq).count()
+    BQ.topk(wi, '"warm table" OR warm', 3, phrase_query=_wq).collect()
     from local_search_engine_spark.streaming.percolate import percolate as _perc
 
     _perc(mini, [(0, "warm table")], "text", "doc_id").count()
@@ -225,6 +229,22 @@ def main() -> None:
     bench(
         "phrase_proximity_topk",
         lambda: pq.near("fast table", 20, window=4).collect(),
+    )
+    # boolean queries (operators/boolquery.py): filter shape over the
+    # BM25 tf table (one scan + one doc_id shuffle), and the ranked
+    # shape with phrase leaves resolved by the cached positional index
+    bench(
+        "bool_filter",
+        lambda: BQ.matches(idx, "(table OR row) AND NOT (scan OR agg)").count(),
+    )
+    bench(
+        "bool_rank_topk",
+        lambda: BQ.topk(
+            idx,
+            '("fast table" OR "spark window") AND NOT merge',
+            20,
+            phrase_query=pq,
+        ).collect(),
     )
     pos_c.unpersist()
 
