@@ -167,9 +167,22 @@ def _bool_leaf_sql(leaf, style: str) -> str:
     """One leaf's match set as DISTINCT doc_ids. style='tok': over the
     zipped-unnest tok(doc_id, t, p) CTE — supports phrase leaves via
     the positional self-join chain. style='tf': over the BM25 tf CTE
-    (term leaves only)."""
-    from local_search_engine_spark.operators.boolquery import Phrase, Term
+    (term leaves only). Field leaves read the documents table directly
+    in either style."""
+    import re as _re
 
+    from local_search_engine_spark.operators.boolquery import (
+        Field,
+        Phrase,
+        Term,
+    )
+
+    if isinstance(leaf, Field):
+        v = leaf.value
+        lit = v if _re.fullmatch(r"-?\d+(\.\d+)?", v) else "'" + v.replace("'", "''") + "'"
+        return (
+            f"SELECT doc_id FROM documents WHERE {leaf.name} {leaf.op} {lit}"
+        )
     if isinstance(leaf, Term):
         if style == "tf":
             return f"SELECT DISTINCT doc_id FROM tf WHERE term = '{leaf.term}'"
@@ -194,6 +207,7 @@ def _bool_set_sql(node, style: str) -> str:
     from local_search_engine_spark.operators.boolquery import (
         And,
         Bool,
+        Field,
         Not,
         Or,
         Phrase,
@@ -206,7 +220,7 @@ def _bool_set_sql(node, style: str) -> str:
             if node.value
             else "SELECT doc_id FROM documents WHERE FALSE"
         )
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, (Term, Phrase, Field)):
         return _bool_leaf_sql(node, style)
     if isinstance(node, Not):
         return (
@@ -723,6 +737,12 @@ BOOL_SPECS = [
     (2, "(table OR row) AND NOT (scan OR agg)"),
     (3, "vector AND zzzznotaterm"),
     (4, "table OR NOT table"),
+    # field leaves (metadata predicates over index.docs, r05): keyword
+    # equality, numeric range, and a NOT over a field — mixed with
+    # term/phrase leaves so the one-scan-per-leaf-kind union is live
+    (5, "lang:en AND fast"),
+    (6, 'source:src3 OR "spark window"'),
+    (7, "n_chars:>400 AND table AND NOT lang:de"),
 ]
 # ranked boolean rows ride bm25_batch (query_id 100+): boolean filter
 # + BM25 over the positive-leaf token multiset, shared rounded-rank
@@ -2539,6 +2559,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         twin) matches the SAME phrases index-free — full match set, no
         k cut, rank re-derived under the shared (cnt DESC, doc_id)
         rule, plus an OOV phrase pinned to zero rows on both sides.
+      * phrase_positional_topk also gains mode='bool' row families
+        (BOOL_SPECS): full match sets of operators/boolquery.py
+        queries (AND/OR/NOT + quoted phrases), cnt = distinct leaves
+        present; the oracle evaluates each boolean independently via
+        SQL set algebra (INTERSECT/UNION/EXCEPT over per-leaf doc
+        sets). bm25_batch gains query_id 100+ rows (BOOLRANK_SPECS):
+        the RANKED boolean path — boolean filter + BM25 over the
+        positive-leaf token multiset, shared rounded-rank rule.
 
     The 12 gates the r02 driver window missed lead the dict; every cut
     gate's callable remains tested in tests/ (see SURVEY.md §8)."""

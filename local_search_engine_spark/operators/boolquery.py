@@ -12,7 +12,11 @@ the reference's users reach for first when free text is too loose:
 
 (implicit AND between adjacent atoms, keywords case-insensitive,
 quoted strings are exact-phrase leaves matched by the POSITIONAL
-index, bare terms run through the shared engine tokenizer).
+index, bare terms run through the shared engine tokenizer, and
+`field:value` / `field:>N` atoms are METADATA predicates — keyword
+semantics, verbatim value — evaluated against index.docs with the
+comparison pushed into the Parquet scan; all field leaves share ONE
+scan whose filter is the pushed disjunction of their predicates).
 
 Spark-first compilation — the whole query is THREE narrow stages and
 ONE shuffle, regardless of how many leaves it has:
@@ -79,6 +83,19 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Field:
+    """Metadata predicate leaf — `lang:en`, `n_chars:>300`,
+    `source:"web crawl"`. The VALUE is verbatim (keyword semantics, no
+    text analysis, case-sensitive); op is one of = > >= < <=. Compiled
+    to a column-pruned, predicate-pushed scan of index.docs — never a
+    postings lookup."""
+
+    name: str
+    op: str
+    value: str
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple
 
@@ -101,6 +118,14 @@ class Bool:
 
 
 _TOKEN_RE = re.compile(r'"([^"]*)"|(\()|(\))|([^\s()"]+)')
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", re.S)
+
+
+def _mk_field(name: str, raw: str) -> Field:
+    for op in (">=", "<=", ">", "<"):
+        if raw.startswith(op):
+            return Field(name, op, raw[len(op) :])
+    return Field(name, "=", raw)
 
 
 class BoolQuerySyntaxError(ValueError):
@@ -192,7 +217,20 @@ def parse_query(text: str):
                 return Term(analyzed[0])
             return Phrase(analyzed)
         if t == "word":
-            analyzed = tokenize_py(toks[i][1])
+            word = toks[i][1]
+            fm = _FIELD_RE.match(word)
+            if fm:
+                name, raw = fm.group(1), fm.group(2)
+                i += 1
+                if raw:
+                    return _mk_field(name, raw)
+                # `field:` followed by a quoted value: source:"web crawl"
+                if peek() == "phrase":
+                    val = toks[i][1]
+                    i += 1
+                    return Field(name, "=", val)
+                raise BoolQuerySyntaxError(f"field '{name}:' has no value")
+            analyzed = tokenize_py(word)
             i += 1
             if not analyzed:
                 return Bool(True)  # pruned clause
@@ -257,7 +295,7 @@ def collect_leaves(node) -> list:
     seen: set = set()
 
     def walk(n):
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, (Term, Phrase, Field)):
             if n not in seen:
                 seen.add(n)
                 out.append(n)
@@ -299,7 +337,7 @@ def satisfiable_all_false(node) -> bool:
     plan must range over the full doc universe."""
     if isinstance(node, Bool):
         return node.value
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, (Term, Phrase, Field)):
         return False
     if isinstance(node, Not):
         return not satisfiable_all_false(node.child)
@@ -315,6 +353,47 @@ def satisfiable_all_false(node) -> bool:
 # --------------------------------------------------------------------------
 
 
+def _field_pred(docs, leaf: Field):
+    """A Field leaf as a pushable Column predicate over index.docs.
+    The literal is coerced to the COLUMN's type (never the column cast
+    to string — a cast on the column would defeat Parquet filter
+    pushdown and row-group pruning)."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(docs.dtypes)
+    if leaf.name not in dtypes:
+        raise ValueError(
+            f"unknown field '{leaf.name}' — index.docs has: "
+            f"{sorted(dtypes)}"
+        )
+    dt = dtypes[leaf.name]
+    val: object = leaf.value
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        try:
+            val = int(leaf.value)
+        except ValueError as e:
+            raise ValueError(
+                f"field '{leaf.name}' is {dt}; {leaf.value!r} is not an integer"
+            ) from e
+    elif dt in ("float", "double") or dt.startswith("decimal"):
+        try:
+            val = float(leaf.value)
+        except ValueError as e:
+            raise ValueError(
+                f"field '{leaf.name}' is {dt}; {leaf.value!r} is not a number"
+            ) from e
+    col = F.col(leaf.name)
+    if leaf.op == "=":
+        return col == F.lit(val)
+    if leaf.op == ">":
+        return col > F.lit(val)
+    if leaf.op == ">=":
+        return col >= F.lit(val)
+    if leaf.op == "<":
+        return col < F.lit(val)
+    return col <= F.lit(val)
+
+
 def _leaf_hits(index, node, phrase_query):
     """(leaf_id int, doc_id long) for every leaf — terms in ONE tf scan,
     phrases in ONE positional plan. Returns (leaves, DataFrame)."""
@@ -326,7 +405,24 @@ def _leaf_hits(index, node, phrase_query):
     phrase_leaves = [
         (i, " ".join(l.tokens)) for i, l in enumerate(leaves) if isinstance(l, Phrase)
     ]
+    field_leaves = [(i, l) for i, l in enumerate(leaves) if isinstance(l, Field)]
     parts = []
+    if field_leaves:
+        # ALL field leaves in ONE docs scan: filter(OR of predicates)
+        # pushes the disjunction into the Parquet scan, then each
+        # surviving row emits the leaf ids it satisfies
+        preds = [(i, _field_pred(index.docs, l)) for i, l in field_leaves]
+        any_pred = preds[0][1]
+        for _, p in preds[1:]:
+            any_pred = any_pred | p
+        tagged = F.array_compact(
+            F.array(*[F.when(p, F.lit(i)) for i, p in preds])
+        )
+        parts.append(
+            index.docs.filter(any_pred).select(
+                F.explode(tagged).alias("leaf_id"), "doc_id"
+            )
+        )
     if term_leaves:
         lt = spark.createDataFrame(term_leaves, "leaf_id int, term string")
         # tf is unique per (doc_id, term): no distinct needed
@@ -363,7 +459,7 @@ def _expr_col(node, hits_col):
     def walk(n):
         if isinstance(n, Bool):
             return F.lit(n.value)
-        if isinstance(n, (Term, Phrase)):
+        if isinstance(n, (Term, Phrase, Field)):
             return F.array_contains(hits_col, idx_of[n])
         if isinstance(n, Not):
             return ~walk(n.child)

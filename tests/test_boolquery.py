@@ -14,6 +14,7 @@ from local_search_engine_spark.operators.boolquery import (
     And,
     Bool,
     BoolQuerySyntaxError,
+    Field,
     Not,
     Or,
     Phrase,
@@ -53,7 +54,16 @@ QUERIES = [
     "NOT zzzznotaterm",  # OOV non-restrictive -> everything
     "a table",  # 'a' analyzes empty -> pruned clause
     "x1 AND (io OR (fast AND NOT (slow OR agg)))",
+    # field leaves (metadata predicates)
+    "lang:en AND table",
+    "n_chars:>40 AND NOT lang:de",
+    'lang:fr OR "table scan"',
+    "NOT lang:en",  # non-restrictive field negation
+    "n_chars:<=0",  # matches only the empty doc
+    "lang:xx AND table",  # unmatched field value -> empty
 ]
+
+LANGS = ["en", "de", "fr"]
 
 
 def _gen_rows(n_docs: int, seed: int = 13):
@@ -61,20 +71,20 @@ def _gen_rows(n_docs: int, seed: int = 13):
     rows = []
     for i in range(n_docs):
         words = [rng.choice(VOCAB) for _ in range(rng.randint(0, 30))]
-        rows.append((i, " ".join(words)))
-    rows += [
-        (n_docs, ""),
-        (n_docs + 1, "table"),
-        (n_docs + 2, "table table table table"),
-        (n_docs + 3, "fast slow fast slow"),
-    ]
+        text = " ".join(words)
+        rows.append((i, text, LANGS[i % 3], len(text)))
+    extra = ["", "table", "table table table table", "fast slow fast slow"]
+    for j, text in enumerate(extra):
+        rows.append((n_docs + j, text, LANGS[j % 3], len(text)))
     return rows
 
 
 @pytest.fixture(scope="module")
 def setup(spark):
     rows = _gen_rows(N_DOCS)
-    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).repartition(8)
     idx = build_index_from(df, text_col="text")
     pos = build_positional_postings(
         df, docs_per_shard=16, block_span=8, n_buckets=8
@@ -109,6 +119,25 @@ def test_parse_shapes():
     # double negation collapses
     assert parse_query("NOT NOT table") == Term("table")
     assert parse_query("") == Bool(True)
+    # field leaves: verbatim value, optional comparison op, quoted value
+    assert parse_query("lang:en") == Field("lang", "=", "en")
+    assert parse_query("lang:EN") == Field("lang", "=", "EN")  # no case-fold
+    assert parse_query("n_chars:>300") == Field("n_chars", ">", "300")
+    assert parse_query("n_chars:<=0") == Field("n_chars", "<=", "0")
+    assert parse_query('source:"web crawl"') == Field("source", "=", "web crawl")
+    assert parse_query("lang:en AND table") == And(
+        (Field("lang", "=", "en"), Term("table"))
+    )
+
+
+def test_field_errors(setup):
+    _, idx, _ = setup
+    with pytest.raises(BoolQuerySyntaxError):
+        parse_query("lang: AND table")  # bare 'field:' with no value
+    with pytest.raises(ValueError, match="unknown field"):
+        matches(idx, "nosuchcol:en").collect()
+    with pytest.raises(ValueError, match="not an integer"):
+        matches(idx, "n_chars:abc").collect()
 
 
 def test_parse_errors():
@@ -141,7 +170,16 @@ def test_static_analysis():
 # --------------------------------------------------------------------------
 
 
-def _eval(node, toks: list[str]) -> bool:
+_OPS = {
+    "=": lambda a, b: a == b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+}
+
+
+def _eval(node, toks: list[str], meta: dict) -> bool:
     if isinstance(node, Bool):
         return node.value
     if isinstance(node, Term):
@@ -151,12 +189,16 @@ def _eval(node, toks: list[str]) -> bool:
         return any(
             toks[i : i + len(q)] == q for i in range(len(toks) - len(q) + 1)
         )
+    if isinstance(node, Field):
+        v = meta[node.name]
+        want = type(v)(node.value) if isinstance(v, (int, float)) else node.value
+        return _OPS[node.op](v, want)
     if isinstance(node, Not):
-        return not _eval(node.child, toks)
+        return not _eval(node.child, toks, meta)
     if isinstance(node, And):
-        return all(_eval(c, toks) for c in node.children)
+        return all(_eval(c, toks, meta) for c in node.children)
     if isinstance(node, Or):
-        return any(_eval(c, toks) for c in node.children)
+        return any(_eval(c, toks, meta) for c in node.children)
     raise TypeError(node)
 
 
@@ -164,10 +206,11 @@ def _brute_matches(rows, query: str) -> dict[int, int]:
     node = parse_query(query)
     leaves = collect_leaves(node)
     out = {}
-    for doc_id, text in rows:
+    for doc_id, text, lang, n_chars in rows:
         toks = tokenize_py(text)
-        if _eval(node, toks):
-            out[doc_id] = sum(1 for l in leaves if _eval(l, toks))
+        meta = {"lang": lang, "n_chars": n_chars}
+        if _eval(node, toks, meta):
+            out[doc_id] = sum(1 for l in leaves if _eval(l, toks, meta))
     return out
 
 
