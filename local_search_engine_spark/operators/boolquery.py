@@ -425,10 +425,14 @@ def _leaf_hits(index, node, phrase_query):
         )
     if term_leaves:
         lt = spark.createDataFrame(term_leaves, "leaf_id int, term string")
-        # tf is unique per (doc_id, term): no distinct needed
-        parts.append(
-            index.tf.join(F.broadcast(lt), "term").select("leaf_id", "doc_id")
+        # explicit term IN (...) BEFORE the broadcast join: the join
+        # alone does not reach the scan, the In filter does (pushes to
+        # Parquet; prunes row groups on a term-sorted persisted tf).
+        # tf is unique per (doc_id, term): no distinct needed.
+        tf = index.tf.filter(
+            F.col("term").isin(sorted({t for _, t in term_leaves}))
         )
+        parts.append(tf.join(F.broadcast(lt), "term").select("leaf_id", "doc_id"))
     if phrase_leaves:
         if phrase_query is None:
             raise ValueError(
