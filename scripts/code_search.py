@@ -9,6 +9,7 @@ engine's operators.
   python scripts/code_search.py suggest --bm25-index IDX_DIR --prefix mer
   python scripts/code_search.py search  --corpus DIR --index ROOT --query 'merge shards fast'
   python scripts/code_search.py phrase  --corpus DIR --index ROOT --query 'merge batch' [--near 4]
+  python scripts/code_search.py bool    --corpus DIR --index ROOT --query '"merge batch" AND lang:python AND NOT test'
 
 `index` persists the trigram inverted file plus a corpus fingerprint;
 `grep` uses the index when given (bucket-pruned candidate AND + exact
@@ -382,11 +383,60 @@ def cmd_phrase(spark, corpus, args) -> dict:
     }
 
 
+def cmd_bool(spark, corpus, args) -> dict:
+    """Boolean search (operators/boolquery.py): AND/OR/NOT, parens,
+    quoted exact phrases, and field predicates over the index metadata
+    (`lang:python`, `repo:org0/repo1`, `doc_len:>200`) — ranked by BM25
+    over the positive-leaf terms. Reuses the persisted ROOT/bm25 index
+    (built on first use, manifest-keyed) and builds ROOT/pos only when
+    the query actually has phrase leaves."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators import boolquery as bq
+    from local_search_engine_spark.plans.checkpoint import load_index
+
+    node = bq.parse_query(args.query)
+    has_phrase = any(
+        isinstance(l, bq.Phrase) for l in bq.collect_leaves(node)
+    )
+    dirs = _ensure_search_indexes(spark, corpus, args.index)
+    idx, _postings, _shard_meta, _stats = load_index(spark, dirs["bm25"])
+    pq = _ensure_phrase_filter(spark, corpus, idx, dirs) if has_phrase else None
+    res = bq.topk(idx, node, args.k, phrase_query=pq)
+    # ≤k result rows broadcast against the doc table — it never shuffles
+    rows = (
+        idx.docs.select(
+            "doc_id",
+            F.concat_ws(":", F.col("repo"), F.col("path")).alias("file"),
+            "lang",
+        )
+        .join(F.broadcast(res), "doc_id")
+        .orderBy("rank")
+        .collect()
+    )
+    return {
+        "cmd": "bool",
+        "query": args.query,
+        "results": [
+            {
+                "rank": int(r["rank"]),
+                "file": r["file"],
+                "lang": r["lang"],
+                "score": round(float(r["score"]), 6),
+            }
+            for r in rows
+        ],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "cmd",
-        choices=["index", "grep", "def", "related", "suggest", "search", "phrase"],
+        choices=[
+            "index", "grep", "def", "related", "suggest", "search",
+            "phrase", "bool",
+        ],
     )
     ap.add_argument("--corpus")
     ap.add_argument("--format", default="parquet")
@@ -471,6 +521,10 @@ def main() -> None:
         print(json.dumps(out))
     elif args.cmd == "phrase":
         out = cmd_phrase(spark, corpus, args)
+        out["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
+    elif args.cmd == "bool":
+        out = cmd_bool(spark, corpus, args)
         out["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(out))
     else:  # suggest

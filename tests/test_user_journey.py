@@ -261,3 +261,64 @@ def test_cli_search_quoted_phrase_recall_beyond_fusion_buffer(spark, tmp_path):
         assert any(
             (a, b) == ("alpha", "beta") for a, b in zip(toks, toks[1:])
         ), r["file"]
+
+
+def test_cli_bool_subcommand(spark, tmp_path):
+    """`bool` subcommand (r05): boolean search over the persisted BM25
+    index — term/NOT/field leaves verified against a raw-corpus scan;
+    a phrase-leaf query triggers the ROOT/pos build; results rank by
+    BM25 over the positive terms."""
+    import argparse
+
+    from scripts.code_search import cmd_bool
+
+    from local_search_engine_spark.functions.tokenize import tokenize_py
+
+    corpus = gen_corpus_spark(spark, 120, partitions=4)
+    root = str(tmp_path / "root")
+    out = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(
+            query="merge AND shard AND NOT batch AND lang:python",
+            index=root,
+            k=10,
+        ),
+    )
+    res = out["results"]
+    assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    by_file = {
+        r["file"]: (r["content"], r["lang"])
+        for r in corpus.selectExpr(
+            "concat_ws(':', repo, path) AS file", "content", "lang"
+        ).collect()
+    }
+    # every hit satisfies the boolean; scores strictly ordered desc
+    for r in res:
+        toks = tokenize_py(by_file[r["file"]][0])
+        assert "merge" in toks and "shard" in toks and "batch" not in toks
+        assert by_file[r["file"]][1] == "python"
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    # exhaustive: hit set == brute-force survivor set cut at k
+    want = {
+        f
+        for f, (c, lang) in by_file.items()
+        if lang == "python"
+        and "merge" in tokenize_py(c)
+        and "shard" in tokenize_py(c)
+        and "batch" not in tokenize_py(c)
+    }
+    got = {r["file"] for r in res}
+    assert got <= want and len(got) == min(10, len(want))
+
+    # phrase-leaf query exercises the positional-index path end to end
+    out2 = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(query='"merge shard" OR "shard merge"', index=root, k=10),
+    )
+    for r in out2["results"]:
+        toks = tokenize_py(by_file[r["file"]][0])
+        pairs = set(zip(toks, toks[1:]))
+        assert ("merge", "shard") in pairs or ("shard", "merge") in pairs
