@@ -174,9 +174,18 @@ def _bool_leaf_sql(leaf, style: str) -> str:
     from local_search_engine_spark.operators.boolquery import (
         Field,
         Phrase,
+        Prefix,
         Term,
     )
 
+    if isinstance(leaf, Prefix):
+        # stem charset is [a-z0-9_]; '_' is a LIKE wildcard so it must
+        # be escaped for the pattern to stay a literal prefix
+        pat = leaf.stem.replace("_", r"\_") + "%"
+        src = "tf WHERE term" if style == "tf" else "tok WHERE t"
+        return (
+            f"SELECT DISTINCT doc_id FROM {src} LIKE '{pat}' ESCAPE '\\'"
+        )
     if isinstance(leaf, Field):
         v = leaf.value
         lit = v if _re.fullmatch(r"-?\d+(\.\d+)?", v) else "'" + v.replace("'", "''") + "'"
@@ -211,6 +220,7 @@ def _bool_set_sql(node, style: str) -> str:
         Not,
         Or,
         Phrase,
+        Prefix,
         Term,
     )
 
@@ -220,7 +230,7 @@ def _bool_set_sql(node, style: str) -> str:
             if node.value
             else "SELECT doc_id FROM documents WHERE FALSE"
         )
-    if isinstance(node, (Term, Phrase, Field)):
+    if isinstance(node, (Term, Phrase, Prefix, Field)):
         return _bool_leaf_sql(node, style)
     if isinstance(node, Not):
         return (
@@ -743,6 +753,12 @@ BOOL_SPECS = [
     (5, "lang:en AND fast"),
     (6, 'source:src3 OR "spark window"'),
     (7, "n_chars:>400 AND table AND NOT lang:de"),
+    # prefix leaves (r05b): StringStartsWith-pushed tf range scan on
+    # the engine side vs an independent LIKE 'stem%' evaluator in the
+    # oracle; pid 8 restrictive, pid 9 NON-restrictive with two
+    # prefixes (universe left-join + prefix union on one plan)
+    (8, "sca* AND NOT merge"),
+    (9, "vec* OR NOT ta*"),
 ]
 # ranked boolean rows ride bm25_batch (query_id 100+): boolean filter
 # + BM25 over the positive-leaf token multiset, shared rounded-rank
@@ -752,6 +768,9 @@ BOOLRANK_SPECS = [
     (100, "fast AND merge AND NOT join", 10),
     (101, "(customer OR order) AND NOT line", 15),
     (102, "table OR NOT table", 10),
+    # prefix leaf is constant-score: ranks exactly like free-text
+    # 'fast' restricted to the sca*-conjunction survivor set
+    (103, "fast AND sca*", 10),
 ]
 
 

@@ -12,11 +12,16 @@ the reference's users reach for first when free text is too loose:
 
 (implicit AND between adjacent atoms, keywords case-insensitive,
 quoted strings are exact-phrase leaves matched by the POSITIONAL
-index, bare terms run through the shared engine tokenizer, and
+index, bare terms run through the shared engine tokenizer,
 `field:value` / `field:>N` atoms are METADATA predicates — keyword
 semantics, verbatim value — evaluated against index.docs with the
 comparison pushed into the Parquet scan; all field leaves share ONE
-scan whose filter is the pushed disjunction of their predicates).
+scan whose filter is the pushed disjunction of their predicates, and
+`merg*` atoms are PREFIX wildcards — Lucene PrefixQuery semantics —
+compiled as one StringStartsWith-pushed tf range scan shared by all
+prefix leaves, constant-score at rank time; leading/inner stars are
+rejected, a reversed-term index being the one structure this engine
+does not build).
 
 Spark-first compilation — the whole query is THREE narrow stages and
 ONE shuffle, regardless of how many leaves it has:
@@ -83,6 +88,21 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Prefix:
+    """Trailing-star wildcard leaf — `merg*`. Matches every indexed
+    term that starts with the stem (Lucene PrefixQuery). The stem is
+    analyzer-normalized (lowercased, single-token charset enforced);
+    leading/inner stars are rejected — a leading wildcard needs a
+    reversed-term index, which this engine does not build. Like
+    Lucene's default CONSTANT_SCORE multi-term rewrite, a prefix leaf
+    contributes NOTHING to BM25 ranking: it filters, it does not
+    score (the expansion set is unbounded, so any per-term scoring
+    would make the clause count data-dependent)."""
+
+    stem: str
+
+
+@dataclass(frozen=True)
 class Field:
     """Metadata predicate leaf — `lang:en`, `n_chars:>300`,
     `source:"web crawl"`. The VALUE is verbatim (keyword semantics, no
@@ -121,11 +141,37 @@ _TOKEN_RE = re.compile(r'"([^"]*)"|(\()|(\))|([^\s()"]+)')
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", re.S)
 
 
+_STEM_RE = re.compile(r"[a-z0-9_]+")
+
+
 def _mk_field(name: str, raw: str) -> Field:
+    if "*" in raw:
+        # no silent verbatim-no-match: field values are keyword
+        # (exact) semantics, wildcards exist only on term leaves
+        raise BoolQuerySyntaxError(
+            f"wildcards are not supported in field values ('{name}:{raw}')"
+        )
     for op in (">=", "<=", ">", "<"):
         if raw.startswith(op):
             return Field(name, op, raw[len(op) :])
     return Field(name, "=", raw)
+
+
+def _mk_prefix(word: str) -> Prefix:
+    """`merg*` → Prefix('merg'). Only a single trailing star; the stem
+    must normalize (lowercase) to one analyzable token."""
+    if word == "*":
+        raise BoolQuerySyntaxError("bare '*' is not a query")
+    if word.count("*") > 1 or not word.endswith("*"):
+        raise BoolQuerySyntaxError(
+            f"only trailing-star prefix wildcards are supported: {word!r}"
+        )
+    stem = word[:-1].lower()
+    if not _STEM_RE.fullmatch(stem):
+        raise BoolQuerySyntaxError(
+            f"prefix stem must be a single term ([a-z0-9_]+): {word!r}"
+        )
+    return Prefix(stem)
 
 
 class BoolQuerySyntaxError(ValueError):
@@ -230,6 +276,9 @@ def parse_query(text: str):
                     i += 1
                     return Field(name, "=", val)
                 raise BoolQuerySyntaxError(f"field '{name}:' has no value")
+            if "*" in word:
+                i += 1
+                return _mk_prefix(word)
             analyzed = tokenize_py(word)
             i += 1
             if not analyzed:
@@ -295,7 +344,7 @@ def collect_leaves(node) -> list:
     seen: set = set()
 
     def walk(n):
-        if isinstance(n, (Term, Phrase, Field)):
+        if isinstance(n, (Term, Phrase, Prefix, Field)):
             if n not in seen:
                 seen.add(n)
                 out.append(n)
@@ -311,7 +360,9 @@ def collect_leaves(node) -> list:
 
 def positive_token_counts(node) -> Counter:
     """Token multiset of leaves under an EVEN number of NOTs — what
-    topk() ranks by. Phrase leaves contribute each constituent token."""
+    topk() ranks by. Phrase leaves contribute each constituent token;
+    Prefix and Field leaves contribute nothing (constant-score — see
+    the Prefix docstring)."""
     counts: Counter = Counter()
 
     def walk(n, neg: bool):
@@ -337,7 +388,7 @@ def satisfiable_all_false(node) -> bool:
     plan must range over the full doc universe."""
     if isinstance(node, Bool):
         return node.value
-    if isinstance(node, (Term, Phrase, Field)):
+    if isinstance(node, (Term, Phrase, Prefix, Field)):
         return False
     if isinstance(node, Not):
         return not satisfiable_all_false(node.child)
@@ -406,6 +457,9 @@ def _leaf_hits(index, node, phrase_query):
         (i, " ".join(l.tokens)) for i, l in enumerate(leaves) if isinstance(l, Phrase)
     ]
     field_leaves = [(i, l) for i, l in enumerate(leaves) if isinstance(l, Field)]
+    prefix_leaves = [
+        (i, l.stem) for i, l in enumerate(leaves) if isinstance(l, Prefix)
+    ]
     parts = []
     if field_leaves:
         # ALL field leaves in ONE docs scan: filter(OR of predicates)
@@ -420,6 +474,31 @@ def _leaf_hits(index, node, phrase_query):
         )
         parts.append(
             index.docs.filter(any_pred).select(
+                F.explode(tagged).alias("leaf_id"), "doc_id"
+            )
+        )
+    if prefix_leaves:
+        # ALL prefix leaves in ONE additional tf scan: the OR of
+        # startswith predicates pushes to Parquet as StringStartsWith —
+        # on the term-sorted persisted tf file that IS the classic
+        # term-dictionary range scan, distributed (row groups outside
+        # [stem, stem+1) never decompress). No expansion ever happens:
+        # unlike Lucene's rewrite-to-BooleanQuery there is no clause
+        # count to cap, so a hot prefix costs exactly its postings.
+        # A doc matching several expansions of one stem emits
+        # duplicate (leaf_id, doc_id) rows; the downstream
+        # collect_set aggregate absorbs them without an extra shuffle.
+        preds = [
+            (i, F.col("term").startswith(stem)) for i, stem in prefix_leaves
+        ]
+        any_pred = preds[0][1]
+        for _, p in preds[1:]:
+            any_pred = any_pred | p
+        tagged = F.array_compact(
+            F.array(*[F.when(p, F.lit(i)) for i, p in preds])
+        )
+        parts.append(
+            index.tf.filter(any_pred).select(
                 F.explode(tagged).alias("leaf_id"), "doc_id"
             )
         )
@@ -463,7 +542,7 @@ def _expr_col(node, hits_col):
     def walk(n):
         if isinstance(n, Bool):
             return F.lit(n.value)
-        if isinstance(n, (Term, Phrase, Field)):
+        if isinstance(n, (Term, Phrase, Prefix, Field)):
             return F.array_contains(hits_col, idx_of[n])
         if isinstance(n, Not):
             return ~walk(n.child)

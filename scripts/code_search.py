@@ -9,7 +9,7 @@ engine's operators.
   python scripts/code_search.py suggest --bm25-index IDX_DIR --prefix mer
   python scripts/code_search.py search  --corpus DIR --index ROOT --query 'merge shards fast'
   python scripts/code_search.py phrase  --corpus DIR --index ROOT --query 'merge batch' [--near 4]
-  python scripts/code_search.py bool    --corpus DIR --index ROOT --query '"merge batch" AND lang:python AND NOT test'
+  python scripts/code_search.py bool    --corpus DIR --index ROOT --query '"merge batch" AND lang:python AND merg* AND NOT test'
 
 `index` persists the trigram inverted file plus a corpus fingerprint;
 `grep` uses the index when given (bucket-pruned candidate AND + exact
@@ -385,7 +385,8 @@ def cmd_phrase(spark, corpus, args) -> dict:
 
 def cmd_bool(spark, corpus, args) -> dict:
     """Boolean search (operators/boolquery.py): AND/OR/NOT, parens,
-    quoted exact phrases, and field predicates over the index metadata
+    quoted exact phrases, trailing-star prefix wildcards (`merg*`,
+    constant-score), and field predicates over the index metadata
     (`lang:python`, `repo:org0/repo1`, `doc_len:>200`) — ranked by BM25
     over the positive-leaf terms. Reuses the persisted ROOT/bm25 index
     (built on first use, manifest-keyed) and builds ROOT/pos only when

@@ -18,6 +18,7 @@ from local_search_engine_spark.operators.boolquery import (
     Not,
     Or,
     Phrase,
+    Prefix,
     Term,
     collect_leaves,
     matches,
@@ -61,6 +62,12 @@ QUERIES = [
     "NOT lang:en",  # non-restrictive field negation
     "n_chars:<=0",  # matches only the empty doc
     "lang:xx AND table",  # unmatched field value -> empty
+    # prefix leaves (r05b)
+    "ta* AND NOT agg",  # restrictive prefix
+    "s* OR io",  # one stem, several expansions (scan+slow)
+    "fast AND NOT s*",  # negated prefix
+    "NOT zz*",  # OOV prefix, non-restrictive -> everything
+    "x1* OR x1",  # stem equal to a full term; same leaf twice is fine
 ]
 
 LANGS = ["en", "de", "fr"]
@@ -128,6 +135,17 @@ def test_parse_shapes():
     assert parse_query("lang:en AND table") == And(
         (Field("lang", "=", "en"), Term("table"))
     )
+    # prefix wildcards: trailing star only, analyzer case-fold on stem
+    assert parse_query("merg*") == Prefix("merg")
+    assert parse_query("MERG*") == Prefix("merg")
+    assert parse_query("s* AND NOT table") == And(
+        (Prefix("s"), Not(Term("table")))
+    )
+    for bad in ["*", "*foo", "f*o", "fo**", "foo-bar*"]:
+        with pytest.raises(BoolQuerySyntaxError):
+            parse_query(bad)
+    with pytest.raises(BoolQuerySyntaxError, match="field values"):
+        parse_query("lang:py*")
 
 
 def test_field_errors(setup):
@@ -163,6 +181,12 @@ def test_static_analysis():
         "table": 1,
         "scan": 1,
     }
+    # prefix leaves collect but never score (constant-score rewrite)
+    n2 = parse_query("fast AND merg*")
+    assert collect_leaves(n2) == [Term("fast"), Prefix("merg")]
+    assert positive_token_counts(n2) == {"fast": 1}
+    assert not satisfiable_all_false(n2)
+    assert satisfiable_all_false(parse_query("NOT merg*"))
 
 
 # --------------------------------------------------------------------------
@@ -189,6 +213,8 @@ def _eval(node, toks: list[str], meta: dict) -> bool:
         return any(
             toks[i : i + len(q)] == q for i in range(len(toks) - len(q) + 1)
         )
+    if isinstance(node, Prefix):
+        return any(t.startswith(node.stem) for t in toks)
     if isinstance(node, Field):
         v = meta[node.name]
         want = type(v)(node.value) if isinstance(v, (int, float)) else node.value
@@ -262,6 +288,8 @@ def _brute_topk(rows, idx, query: str, k: int):
         "(table OR io) AND NOT (scan OR agg)",
         "NOT table",  # pure negative: all scores 0.0, doc_id order
         "table AND zzzznotaterm",  # empty
+        "fast AND s*",  # prefix is constant-score: ranks like 'fast'
+        "s* OR ta*",  # all-prefix query: every score 0.0
     ],
 )
 def test_topk_equals_filtered_bm25(setup, query):
