@@ -173,11 +173,19 @@ def _bool_leaf_sql(leaf, style: str) -> str:
 
     from local_search_engine_spark.operators.boolquery import (
         Field,
+        Fuzzy,
         Phrase,
         Prefix,
         Term,
     )
 
+    if isinstance(leaf, Fuzzy):
+        # independent evaluator: brute-force levenshtein over the term
+        # dictionary (no deletion-hash machinery shared with the engine)
+        src = "tf WHERE levenshtein(term" if style == "tf" else "tok WHERE levenshtein(t"
+        return (
+            f"SELECT DISTINCT doc_id FROM {src}, '{leaf.stem}') <= {leaf.max_d}"
+        )
     if isinstance(leaf, Prefix):
         # stem charset is [a-z0-9_]; '_' is a LIKE wildcard so it must
         # be escaped for the pattern to stay a literal prefix
@@ -217,6 +225,7 @@ def _bool_set_sql(node, style: str) -> str:
         And,
         Bool,
         Field,
+        Fuzzy,
         Not,
         Or,
         Phrase,
@@ -230,7 +239,7 @@ def _bool_set_sql(node, style: str) -> str:
             if node.value
             else "SELECT doc_id FROM documents WHERE FALSE"
         )
-    if isinstance(node, (Term, Phrase, Prefix, Field)):
+    if isinstance(node, (Term, Phrase, Prefix, Fuzzy, Field)):
         return _bool_leaf_sql(node, style)
     if isinstance(node, Not):
         return (
@@ -759,6 +768,12 @@ BOOL_SPECS = [
     # prefixes (universe left-join + prefix union on one plan)
     (8, "sca* AND NOT merge"),
     (9, "vec* OR NOT ta*"),
+    # fuzzy leaves (r05b): engine = SymSpell deletion-hash vocab
+    # expansion; oracle = brute-force levenshtein over the dictionary
+    # — structurally independent matchers. pid 10 d=1 typo, pid 11
+    # d=2 default with a negated fuzzy
+    (10, "fasd~1 AND NOT merge"),
+    (11, "tabel~ OR NOT scen~1"),
 ]
 # ranked boolean rows ride bm25_batch (query_id 100+): boolean filter
 # + BM25 over the positive-leaf token multiset, shared rounded-rank
@@ -771,6 +786,8 @@ BOOLRANK_SPECS = [
     # prefix leaf is constant-score: ranks exactly like free-text
     # 'fast' restricted to the sca*-conjunction survivor set
     (103, "fast AND sca*", 10),
+    # fuzzy leaf is constant-score too
+    (104, "scan AND fasd~1", 10),
 ]
 
 

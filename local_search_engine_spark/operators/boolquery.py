@@ -21,7 +21,9 @@ scan whose filter is the pushed disjunction of their predicates, and
 compiled as one StringStartsWith-pushed tf range scan shared by all
 prefix leaves, constant-score at rank time; leading/inner stars are
 rejected, a reversed-term index being the one structure this engine
-does not build).
+does not build. `fast~1` / `tabel~` atoms are FUZZY terms — Lucene
+FuzzyQuery semantics, vocabulary expansion via the SymSpell
+deletion-hash join of operators/spell.py, constant-score).
 
 Spark-first compilation — the whole query is THREE narrow stages and
 ONE shuffle, regardless of how many leaves it has:
@@ -103,6 +105,22 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Fuzzy:
+    """Fuzzy term leaf — `fast~1`, `tabel~` (distance defaults to 2,
+    Lucene FuzzyQuery's default). Matches docs containing ANY indexed
+    term within levenshtein distance ≤ max_d of the stem (the exact
+    term is distance 0, so a fuzzy leaf subsumes its Term). Expansion
+    runs against the index VOCABULARY via the SymSpell deletion-hash
+    join (operators/spell.py — one vocab scan for all fuzzy leaves in
+    the query, length-window pushed), then the expanded (leaf_id,
+    term) pairs ride the same single tf scan as exact Term leaves.
+    Constant-score at rank time, same rationale as Prefix."""
+
+    stem: str
+    max_d: int
+
+
+@dataclass(frozen=True)
 class Field:
     """Metadata predicate leaf — `lang:en`, `n_chars:>300`,
     `source:"web crawl"`. The VALUE is verbatim (keyword semantics, no
@@ -172,6 +190,26 @@ def _mk_prefix(word: str) -> Prefix:
             f"prefix stem must be a single term ([a-z0-9_]+): {word!r}"
         )
     return Prefix(stem)
+
+
+def _mk_fuzzy(word: str):
+    """`fast~1` → Fuzzy('fast', 1); bare `fast~` defaults to distance 2
+    (Lucene). `~0` is exact and folds to a plain Term."""
+    base, _, dstr = word.rpartition("~")
+    if dstr == "":
+        d = 2
+    elif dstr in ("0", "1", "2"):
+        d = int(dstr)
+    else:
+        raise BoolQuerySyntaxError(
+            f"fuzzy distance must be 0, 1 or 2: {word!r}"
+        )
+    stem = base.lower()
+    if not _STEM_RE.fullmatch(stem):
+        raise BoolQuerySyntaxError(
+            f"fuzzy stem must be a single term ([a-z0-9_]+): {word!r}"
+        )
+    return Term(stem) if d == 0 else Fuzzy(stem, d)
 
 
 class BoolQuerySyntaxError(ValueError):
@@ -279,6 +317,9 @@ def parse_query(text: str):
             if "*" in word:
                 i += 1
                 return _mk_prefix(word)
+            if "~" in word:
+                i += 1
+                return _mk_fuzzy(word)
             analyzed = tokenize_py(word)
             i += 1
             if not analyzed:
@@ -344,7 +385,7 @@ def collect_leaves(node) -> list:
     seen: set = set()
 
     def walk(n):
-        if isinstance(n, (Term, Phrase, Prefix, Field)):
+        if isinstance(n, (Term, Phrase, Prefix, Fuzzy, Field)):
             if n not in seen:
                 seen.add(n)
                 out.append(n)
@@ -388,7 +429,7 @@ def satisfiable_all_false(node) -> bool:
     plan must range over the full doc universe."""
     if isinstance(node, Bool):
         return node.value
-    if isinstance(node, (Term, Phrase, Prefix, Field)):
+    if isinstance(node, (Term, Phrase, Prefix, Fuzzy, Field)):
         return False
     if isinstance(node, Not):
         return not satisfiable_all_false(node.child)
@@ -445,6 +486,50 @@ def _field_pred(docs, leaf: Field):
     return col <= F.lit(val)
 
 
+def _fuzzy_expand(index, fuzzy_leaves) -> list:
+    """Expand [(leaf_id, stem, max_d)] against the index vocabulary —
+    ONE vocab scan for all fuzzy leaves: length-window filter (lev ≤ d
+    forces |len(term) − len(stem)| ≤ d), SymSpell deletion-variant
+    equi-join (exact-complete, operators/spell.py), levenshtein
+    verification. Returns [(leaf_id, term)] collected driver-side —
+    the engine's standard query-literal derivation (the expansion is
+    term strings only, bounded by the stems' d-neighbourhoods in the
+    vocabulary), so the downstream tf scan gets a pushable
+    `term IN (...)` exactly like exact Term leaves."""
+    from pyspark.sql import functions as F
+
+    from .spell import _variants, delete_variants_py
+
+    spark = index.idf.sparkSession
+    max_d = max(d for _, _, d in fuzzy_leaves)
+    qrows = sorted(
+        {
+            (i, s, d, v)
+            for i, s, d in fuzzy_leaves
+            for v in delete_variants_py(s, d)
+        }
+    )
+    q = spark.createDataFrame(
+        qrows, "leaf_id int, stem string, max_d int, vkey string"
+    )
+    lens = [(len(s), d) for _, s, d in fuzzy_leaves]
+    lo = min(n - d for n, d in lens)
+    hi = max(n + d for n, d in lens)
+    vkeys = index.idf.filter(F.length("term").between(lo, hi)).select(
+        "term", F.explode(_variants(F.col("term"), max_d)).alias("vkey")
+    )
+    cand = (
+        vkeys.join(F.broadcast(q), "vkey")
+        .select("leaf_id", "stem", "max_d", "term")
+        .distinct()
+        .filter(F.levenshtein("term", "stem") <= F.col("max_d"))
+    )
+    return sorted(
+        (int(r["leaf_id"]), r["term"])
+        for r in cand.select("leaf_id", "term").collect()
+    )
+
+
 def _leaf_hits(index, node, phrase_query):
     """(leaf_id int, doc_id long) for every leaf — terms in ONE tf scan,
     phrases in ONE positional plan. Returns (leaves, DataFrame)."""
@@ -460,6 +545,15 @@ def _leaf_hits(index, node, phrase_query):
     prefix_leaves = [
         (i, l.stem) for i, l in enumerate(leaves) if isinstance(l, Prefix)
     ]
+    fuzzy_leaves = [
+        (i, l.stem, l.max_d)
+        for i, l in enumerate(leaves)
+        if isinstance(l, Fuzzy)
+    ]
+    if fuzzy_leaves:
+        # fuzzy expansions become plain (leaf_id, term) pairs and ride
+        # the SAME single tf scan as the exact Term leaves below
+        term_leaves = term_leaves + _fuzzy_expand(index, fuzzy_leaves)
     parts = []
     if field_leaves:
         # ALL field leaves in ONE docs scan: filter(OR of predicates)
@@ -542,7 +636,7 @@ def _expr_col(node, hits_col):
     def walk(n):
         if isinstance(n, Bool):
             return F.lit(n.value)
-        if isinstance(n, (Term, Phrase, Prefix, Field)):
+        if isinstance(n, (Term, Phrase, Prefix, Fuzzy, Field)):
             return F.array_contains(hits_col, idx_of[n])
         if isinstance(n, Not):
             return ~walk(n.child)

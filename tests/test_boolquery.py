@@ -17,6 +17,7 @@ from local_search_engine_spark.operators.boolquery import (
     Field,
     Not,
     Or,
+    Fuzzy,
     Phrase,
     Prefix,
     Term,
@@ -68,6 +69,12 @@ QUERIES = [
     "fast AND NOT s*",  # negated prefix
     "NOT zz*",  # OOV prefix, non-restrictive -> everything
     "x1* OR x1",  # stem equal to a full term; same leaf twice is fine
+    # fuzzy leaves (r05b)
+    "fasr~1 AND NOT agg",  # d=1 typo of 'fast' (also matches 'part'? no: lev=3)
+    "tabel~ OR io",  # d=2 default: matches table
+    "scan AND NOT slo~1",  # negated fuzzy (slo->slow d=1)
+    "NOT zzzz~1",  # OOV fuzzy, non-restrictive -> everything
+    "fast~1",  # exact term is distance 0; also picks up 'past' etc if present
 ]
 
 LANGS = ["en", "de", "fr"]
@@ -146,6 +153,13 @@ def test_parse_shapes():
             parse_query(bad)
     with pytest.raises(BoolQuerySyntaxError, match="field values"):
         parse_query("lang:py*")
+    # fuzzy: ~ defaults to d=2, ~0 folds to Term, bad distances raise
+    assert parse_query("fast~1") == Fuzzy("fast", 1)
+    assert parse_query("FAST~") == Fuzzy("fast", 2)
+    assert parse_query("fast~0") == Term("fast")
+    for bad in ["fast~3", "fast~x", "~", "~1", "a~b~c"]:
+        with pytest.raises(BoolQuerySyntaxError):
+            parse_query(bad)
 
 
 def test_field_errors(setup):
@@ -187,11 +201,26 @@ def test_static_analysis():
     assert positive_token_counts(n2) == {"fast": 1}
     assert not satisfiable_all_false(n2)
     assert satisfiable_all_false(parse_query("NOT merg*"))
+    n3 = parse_query("fast AND tabel~1")
+    assert collect_leaves(n3) == [Term("fast"), Fuzzy("tabel", 1)]
+    assert positive_token_counts(n3) == {"fast": 1}
+    assert satisfiable_all_false(parse_query("NOT tabel~"))
 
 
 # --------------------------------------------------------------------------
 # brute-force twin
 # --------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain Levenshtein, the test's independent implementation."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 _OPS = {
@@ -215,6 +244,8 @@ def _eval(node, toks: list[str], meta: dict) -> bool:
         )
     if isinstance(node, Prefix):
         return any(t.startswith(node.stem) for t in toks)
+    if isinstance(node, Fuzzy):
+        return any(_lev(t, node.stem) <= node.max_d for t in toks)
     if isinstance(node, Field):
         v = meta[node.name]
         want = type(v)(node.value) if isinstance(v, (int, float)) else node.value
@@ -290,6 +321,7 @@ def _brute_topk(rows, idx, query: str, k: int):
         "table AND zzzznotaterm",  # empty
         "fast AND s*",  # prefix is constant-score: ranks like 'fast'
         "s* OR ta*",  # all-prefix query: every score 0.0
+        "fast AND tabel~",  # fuzzy is constant-score too
     ],
 )
 def test_topk_equals_filtered_bm25(setup, query):
