@@ -224,6 +224,7 @@ def _bool_set_sql(node, style: str) -> str:
     from local_search_engine_spark.operators.boolquery import (
         And,
         Bool,
+        Boost,
         Field,
         Fuzzy,
         Not,
@@ -239,6 +240,8 @@ def _bool_set_sql(node, style: str) -> str:
             if node.value
             else "SELECT doc_id FROM documents WHERE FALSE"
         )
+    if isinstance(node, Boost):  # matching-transparent (rank-only)
+        return _bool_set_sql(node.child, style)
     if isinstance(node, (Term, Phrase, Prefix, Fuzzy, Field)):
         return _bool_leaf_sql(node, style)
     if isinstance(node, Not):
@@ -774,6 +777,9 @@ BOOL_SPECS = [
     # d=2 default with a negated fuzzy
     (10, "fasd~1 AND NOT merge"),
     (11, "tabel~ OR NOT scen~1"),
+    # boost leaves (r05c) are MATCHING-TRANSPARENT: pid 12 must hash to
+    # the exact doc set its unboosted twin (pid 0) produces
+    (12, "fast^2 AND scan^0.5 AND NOT merge"),
 ]
 # ranked boolean rows ride bm25_batch (query_id 100+): boolean filter
 # + BM25 over the positive-leaf token multiset, shared rounded-rank
@@ -788,6 +794,11 @@ BOOLRANK_SPECS = [
     (103, "fast AND sca*", 10),
     # fuzzy leaf is constant-score too
     (104, "scan AND fasd~1", 10),
+    # boosts (r05c): weighted BM25 — qtf becomes 2.0/0.5 on BOTH sides
+    # (engine positive_token_counts ↔ oracle VALUES), exact binary
+    # factors so the float products stay bit-identical
+    (105, "fast^2 OR merge^0.5", 10),
+    (106, "(customer OR order)^4 AND NOT line^2", 15),
 ]
 
 

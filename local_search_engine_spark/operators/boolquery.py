@@ -23,7 +23,10 @@ prefix leaves, constant-score at rank time; leading/inner stars are
 rejected, a reversed-term index being the one structure this engine
 does not build. `fast~1` / `tabel~` atoms are FUZZY terms — Lucene
 FuzzyQuery semantics, vocabulary expansion via the SymSpell
-deletion-hash join of operators/spell.py, constant-score).
+deletion-hash join of operators/spell.py, constant-score. Any atom —
+or parenthesised group — takes a trailing `^N` BOOST (`fast^2`,
+`"spark window"^0.5`, `(a OR b)^3`): matching-transparent, it scales
+the BM25 weight of the positive tokens beneath it at rank time).
 
 Spark-first compilation — the whole query is THREE narrow stages and
 ONE shuffle, regardless of how many leaves it has:
@@ -90,6 +93,24 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Near:
+    """Sloppy-phrase leaf — `"fast scan"~3` (Lucene's `"..."~N` syntax).
+    Matches docs where every constituent term occurs within ±window
+    tokens of some occurrence of the FIRST term (the anchor) — the
+    unordered-NEAR semantics of the engine's proximity kernel
+    (operators/positional.proximity_docs), deliberately simpler than
+    Lucene's move-count slop: the window is a hard positional radius,
+    which is what code search means by "these identifiers appear
+    together". `~0` folds to an exact Phrase (Lucene's slop-0 rule);
+    a one-token sloppy phrase folds to its Term. Rank-time the
+    constituent tokens join the positive multiset exactly as Phrase
+    tokens do."""
+
+    tokens: tuple  # tuple[str, ...]
+    window: int
+
+
+@dataclass(frozen=True)
 class Prefix:
     """Trailing-star wildcard leaf — `merg*`. Matches every indexed
     term that starts with the stem (Lucene PrefixQuery). The stem is
@@ -134,6 +155,22 @@ class Field:
 
 
 @dataclass(frozen=True)
+class Boost:
+    """Query-time boost — `term^2`, `"spark window"^0.5`, `(a OR b)^3`
+    (Lucene boost syntax; the factor is a non-negative decimal).
+    TRANSPARENT for matching: a boosted subtree matches exactly the
+    docs its child matches. At rank time the factor multiplies the
+    positive-token weights of everything beneath it (nested boosts
+    multiply), which is exactly Lucene's per-clause score scaling —
+    BM25's qtf enters the score product linearly, so weight w on a
+    term scores w × the unboosted contribution. Constant-score leaves
+    (Prefix/Fuzzy/Field) stay constant-score under a boost."""
+
+    child: object
+    factor: float
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple
 
@@ -157,6 +194,10 @@ class Bool:
 
 _TOKEN_RE = re.compile(r'"([^"]*)"|(\()|(\))|([^\s()"]+)')
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", re.S)
+# trailing boost suffix on a word token: `term^2`, `fast~1^0.5`, or a
+# bare `^3` (which the lexer emits standalone so it can follow a
+# phrase/paren atom: `"spark window"^2`, `(a OR b)^3`)
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$", re.S)
 
 
 _STEM_RE = re.compile(r"[a-z0-9_]+")
@@ -242,6 +283,20 @@ def parse_query(text: str):
             up = w.upper()
             if up in ("AND", "OR", "NOT"):
                 toks.append((up, w))
+            elif "^" in w:
+                bm = _BOOST_RE.match(w)
+                if not bm:
+                    raise BoolQuerySyntaxError(
+                        f"'^' must introduce a numeric boost (term^2): {w!r}"
+                    )
+                base, factor = bm.group(1), float(bm.group(2))
+                if base:
+                    if "^" in base:
+                        raise BoolQuerySyntaxError(
+                            f"only one boost per atom: {w!r}"
+                        )
+                    toks.append(("word", base))
+                toks.append(("boost", factor))
             else:
                 toks.append(("word", w))
     if text[pos:].strip():
@@ -280,11 +335,19 @@ def parse_query(text: str):
         if peek() == "NOT":
             i += 1
             return _mk_not(not_expr())
-        return atom()
+        node = atom()
+        if peek() == "boost":  # boost binds tightest: NOT a^2 ≡ NOT (a^2)
+            node = _mk_boost(node, toks[i][1])
+            i += 1
+        return node
 
     def atom():
         nonlocal i
         t = peek()
+        if t == "boost":
+            raise BoolQuerySyntaxError(
+                f"dangling boost '^{toks[i][1]:g}' — a boost must follow an atom"
+            )
         if t == "(":
             i += 1
             node = expr()
@@ -373,6 +436,16 @@ def _mk_not(child):
     return Not(child)
 
 
+def _mk_boost(child, factor: float):
+    """^1 is the identity; nested boosts multiply; a boosted constant
+    stays constant (boost never affects matching)."""
+    if isinstance(child, Bool) or factor == 1.0:
+        return child
+    if isinstance(child, Boost):
+        return Boost(child.child, child.factor * factor)
+    return Boost(child, factor)
+
+
 # --------------------------------------------------------------------------
 # analysis helpers
 # --------------------------------------------------------------------------
@@ -391,6 +464,8 @@ def collect_leaves(node) -> list:
                 out.append(n)
         elif isinstance(n, Not):
             walk(n.child)
+        elif isinstance(n, Boost):
+            walk(n.child)
         elif isinstance(n, (And, Or)):
             for c in n.children:
                 walk(c)
@@ -400,26 +475,36 @@ def collect_leaves(node) -> list:
 
 
 def positive_token_counts(node) -> Counter:
-    """Token multiset of leaves under an EVEN number of NOTs — what
-    topk() ranks by. Phrase leaves contribute each constituent token;
-    Prefix and Field leaves contribute nothing (constant-score — see
-    the Prefix docstring)."""
+    """Token WEIGHT multiset of leaves under an EVEN number of NOTs —
+    what topk() ranks by. Phrase leaves contribute each constituent
+    token; Prefix and Field leaves contribute nothing (constant-score —
+    see the Prefix docstring). A Boost multiplies the weight of every
+    token beneath it (nested boosts compound), so values are ints for
+    boost-free queries and floats once a boost appears — score_terms
+    accepts both, and int weights score bit-identically either way."""
     counts: Counter = Counter()
 
-    def walk(n, neg: bool):
+    def walk(n, neg: bool, w):
         if isinstance(n, Term):
             if not neg:
-                counts[n.term] += 1
+                counts[n.term] += w
         elif isinstance(n, Phrase):
             if not neg:
-                counts.update(n.tokens)
+                for t in n.tokens:
+                    counts[t] += w
         elif isinstance(n, Not):
-            walk(n.child, not neg)
+            walk(n.child, not neg, w)
+        elif isinstance(n, Boost):
+            walk(n.child, neg, w * n.factor)
         elif isinstance(n, (And, Or)):
             for c in n.children:
-                walk(c, neg)
+                walk(c, neg, w)
 
-    walk(node, False)
+    walk(node, False, 1)
+    # a token whose weights cancel to 0.0 (e.g. `a^0`) still matched —
+    # drop it from the RANKING multiset only
+    for t in [t for t, w in counts.items() if not w]:
+        del counts[t]
     return counts
 
 
@@ -431,6 +516,8 @@ def satisfiable_all_false(node) -> bool:
         return node.value
     if isinstance(node, (Term, Phrase, Prefix, Fuzzy, Field)):
         return False
+    if isinstance(node, Boost):
+        return satisfiable_all_false(node.child)
     if isinstance(node, Not):
         return not satisfiable_all_false(node.child)
     if isinstance(node, And):
@@ -638,6 +725,8 @@ def _expr_col(node, hits_col):
             return F.lit(n.value)
         if isinstance(n, (Term, Phrase, Prefix, Fuzzy, Field)):
             return F.array_contains(hits_col, idx_of[n])
+        if isinstance(n, Boost):  # matching-transparent
+            return walk(n.child)
         if isinstance(n, Not):
             return ~walk(n.child)
         if isinstance(n, And):

@@ -68,14 +68,19 @@ def score_all(index: InvertedIndex, query: str):
 def score_terms(index: InvertedIndex, term_counts: dict):
     """Score from an explicit (term → qtf) multiset — the seam the
     spell-correction path uses (corrected terms replace raw tokens,
-    reference retriever.py:886)."""
+    reference retriever.py:886). qtf may be fractional: boolquery's
+    boost syntax (`term^2.5`) scales the per-term weight, and qtf
+    enters the BM25 product linearly, so an integer count scores
+    bit-identically whether carried as int or double."""
     from pyspark.sql import functions as F
 
     spark = index.tf.sparkSession
     counts = sorted(term_counts.items())
     if not counts:
         return spark.createDataFrame([], "doc_id long, score double")
-    qt = spark.createDataFrame([(t, int(c)) for t, c in counts], "term string, qtf int")
+    qt = spark.createDataFrame(
+        [(t, float(c)) for t, c in counts], "term string, qtf double"
+    )
     terms = [t for t, _ in counts]
     # broadcast only the QUERY TERMS' idf rows — never the full idf
     # table (the vocabulary can be millions of terms; the term IN (...)

@@ -14,6 +14,7 @@ from local_search_engine_spark.operators.boolquery import (
     And,
     Bool,
     BoolQuerySyntaxError,
+    Boost,
     Field,
     Not,
     Or,
@@ -75,6 +76,12 @@ QUERIES = [
     "scan AND NOT slo~1",  # negated fuzzy (slo->slow d=1)
     "NOT zzzz~1",  # OOV fuzzy, non-restrictive -> everything
     "fast~1",  # exact term is distance 0; also picks up 'past' etc if present
+    # boosts (r05c): matching-transparent, so match sets ≡ unboosted
+    "fast^2 AND NOT slow",
+    '"table scan"^0.5 OR io^3',
+    "(table OR io)^2 AND scan",
+    "NOT fast^2",  # boost under NOT: still non-restrictive
+    "ta*^2 AND fast",  # boosted prefix: constant-score, still matches
 ]
 
 LANGS = ["en", "de", "fr"]
@@ -160,6 +167,22 @@ def test_parse_shapes():
     for bad in ["fast~3", "fast~x", "~", "~1", "a~b~c"]:
         with pytest.raises(BoolQuerySyntaxError):
             parse_query(bad)
+    # boosts: bind to the preceding atom, ^1 is identity, nesting
+    # multiplies, constants fold, matching shape is untouched
+    assert parse_query("fast^2") == Boost(Term("fast"), 2.0)
+    assert parse_query("fast^1") == Term("fast")
+    assert parse_query('"table scan"^0.5') == Boost(Phrase(("table", "scan")), 0.5)
+    assert parse_query("(table OR io)^3") == Boost(
+        Or((Term("table"), Term("io"))), 3.0
+    )
+    assert parse_query("(fast^2)^3") == Boost(Term("fast"), 6.0)
+    assert parse_query("NOT fast^2") == Not(Boost(Term("fast"), 2.0))
+    assert parse_query("tabel~1^2") == Boost(Fuzzy("tabel", 1), 2.0)
+    assert parse_query("ta*^2") == Boost(Prefix("ta"), 2.0)
+    assert parse_query("a^2 AND table") == Term("table")  # pruned boosted clause
+    for bad in ["^2", "fast^", "fast^x", "fast^2^3", '"x y"^2^3', "fast ^2 ^3"]:
+        with pytest.raises(BoolQuerySyntaxError):
+            parse_query(bad)
 
 
 def test_field_errors(setup):
@@ -205,6 +228,19 @@ def test_static_analysis():
     assert collect_leaves(n3) == [Term("fast"), Fuzzy("tabel", 1)]
     assert positive_token_counts(n3) == {"fast": 1}
     assert satisfiable_all_false(parse_query("NOT tabel~"))
+    # boosts scale the positive-token weights; matching analysis is
+    # untouched (fast and fast^2 are the SAME leaf)
+    n4 = parse_query('fast^2 AND "table scan"^0.5 AND fast')
+    assert collect_leaves(n4) == [Term("fast"), Phrase(("table", "scan"))]
+    assert positive_token_counts(n4) == {"fast": 3.0, "table": 0.5, "scan": 0.5}
+    assert not satisfiable_all_false(n4)
+    assert satisfiable_all_false(parse_query("NOT fast^2"))
+    # a weight that cancels to zero leaves the ranking multiset
+    assert positive_token_counts(parse_query("fast^0 AND table")) == {"table": 1}
+    # boost under NOT still contributes nothing
+    assert positive_token_counts(parse_query("table AND NOT fast^9")) == {
+        "table": 1
+    }
 
 
 # --------------------------------------------------------------------------
@@ -250,6 +286,8 @@ def _eval(node, toks: list[str], meta: dict) -> bool:
         v = meta[node.name]
         want = type(v)(node.value) if isinstance(v, (int, float)) else node.value
         return _OPS[node.op](v, want)
+    if isinstance(node, Boost):
+        return _eval(node.child, toks, meta)
     if isinstance(node, Not):
         return not _eval(node.child, toks, meta)
     if isinstance(node, And):
@@ -322,6 +360,9 @@ def _brute_topk(rows, idx, query: str, k: int):
         "fast AND s*",  # prefix is constant-score: ranks like 'fast'
         "s* OR ta*",  # all-prefix query: every score 0.0
         "fast AND tabel~",  # fuzzy is constant-score too
+        "fast^3 OR slow",  # boost: weighted BM25 reorders vs unboosted
+        'fast^0.25 OR "table scan"^4',  # fractional + phrase boost
+        "(table OR io)^2 AND scan^0.5",  # group boost distributes
     ],
 )
 def test_topk_equals_filtered_bm25(setup, query):
@@ -338,3 +379,37 @@ def test_phrase_without_positional_index_raises(setup):
     _, idx, _ = setup
     with pytest.raises(ValueError, match="positional"):
         matches(idx, '"table scan"').collect()
+
+
+def test_boost_score_linearity(setup):
+    """Independent semantics check (not via positive_token_counts):
+    BM25 is linear in qtf, so every doc's score under `fast^2` must be
+    exactly 2 × its score under `fast`, over the identical match set —
+    and a boost must never change WHICH docs match."""
+    _, idx, pq = setup
+    base = {
+        r["doc_id"]: r["score"]
+        for r in topk(idx, "fast", 1000, phrase_query=pq).collect()
+    }
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in topk(idx, "fast^2", 1000, phrase_query=pq).collect()
+    }
+    assert set(base) == set(boosted)
+    assert base  # non-vacuous
+    for d, s in base.items():
+        assert boosted[d] == pytest.approx(2.0 * s, abs=2e-6)  # 6dp rounding
+
+
+def test_boost_reorders_topk(setup):
+    """The point of a boost: `fast OR slow` and `fast^9 OR slow^0.1`
+    must produce genuinely different orderings whenever both terms
+    discriminate (docs heavy in one term outrank under its boost)."""
+    _, idx, pq = setup
+    plain = [r["doc_id"] for r in topk(idx, "fast OR slow", 10, phrase_query=pq).collect()]
+    slowed = [
+        r["doc_id"]
+        for r in topk(idx, "fast^0.1 OR slow^9", 10, phrase_query=pq).collect()
+    ]
+    assert set() != set(plain)
+    assert plain != slowed
