@@ -174,11 +174,35 @@ def _bool_leaf_sql(leaf, style: str) -> str:
     from local_search_engine_spark.operators.boolquery import (
         Field,
         Fuzzy,
+        Near,
         Phrase,
         Prefix,
+        Regex,
         Term,
     )
 
+    if isinstance(leaf, Regex):
+        # independent evaluator: DuckDB RE2 over the raw text (engine
+        # side is Java rlike — spec patterns stay in the common subset)
+        pat = leaf.pattern.replace("'", "''")
+        return (
+            f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{pat}')"
+        )
+    if isinstance(leaf, Near):
+        # independent proximity evaluator (BETWEEN joins, twin of the
+        # mode='near' oracle): anchor = first UNIQUE term, every other
+        # unique term within ±window of some anchor occurrence
+        assert style == "tok", leaf
+        uniq = list(dict.fromkeys(leaf.tokens))
+        joins = " ".join(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.t = '{t}' "
+            f"AND t{i}.p BETWEEN t0.p - {leaf.window} AND t0.p + {leaf.window}"
+            for i, t in enumerate(uniq[1:], 1)
+        )
+        return (
+            f"SELECT DISTINCT t0.doc_id AS doc_id FROM tok t0 {joins} "
+            f"WHERE t0.t = '{uniq[0]}'"
+        )
     if isinstance(leaf, Fuzzy):
         # independent evaluator: brute-force levenshtein over the term
         # dictionary (no deletion-hash machinery shared with the engine)
@@ -227,10 +251,12 @@ def _bool_set_sql(node, style: str) -> str:
         Boost,
         Field,
         Fuzzy,
+        Near,
         Not,
         Or,
         Phrase,
         Prefix,
+        Regex,
         Term,
     )
 
@@ -242,7 +268,7 @@ def _bool_set_sql(node, style: str) -> str:
         )
     if isinstance(node, Boost):  # matching-transparent (rank-only)
         return _bool_set_sql(node.child, style)
-    if isinstance(node, (Term, Phrase, Prefix, Fuzzy, Field)):
+    if isinstance(node, (Term, Phrase, Near, Prefix, Fuzzy, Field, Regex)):
         return _bool_leaf_sql(node, style)
     if isinstance(node, Not):
         return (
@@ -780,6 +806,16 @@ BOOL_SPECS = [
     # boost leaves (r05c) are MATCHING-TRANSPARENT: pid 12 must hash to
     # the exact doc set its unboosted twin (pid 0) produces
     (12, "fast^2 AND scan^0.5 AND NOT merge"),
+    # sloppy-phrase leaves (r05c): ±window proximity via the positional
+    # index on the engine side vs independent BETWEEN-join anchors in
+    # the oracle; pid 13 mixes a sloppy and an exact phrase so both
+    # window modes share the one matches_set scan
+    (13, '"fast table"~3 OR "spark window"'),
+    (14, '"fast table"~2 AND NOT merge'),
+    # regex leaves (r05c): Java-rlike engine (trigram-pruned verify)
+    # vs DuckDB-RE2 oracle — patterns in the common syntax subset
+    (15, "/fast [a-z]+ scan/ AND NOT merge"),
+    (16, "/merge[sd]? [a-z]+ shard/ OR fast"),
 ]
 # ranked boolean rows ride bm25_batch (query_id 100+): boolean filter
 # + BM25 over the positive-leaf token multiset, shared rounded-rank
@@ -1729,12 +1765,19 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index's tf table (term leaves); cnt = n_hits. Rank re-derived
     # under the shared (cnt DESC, doc_id) rule, no k cut.
     from local_search_engine_spark.operators import boolquery as bq
+    from local_search_engine_spark.operators.trigram import doc_trigrams
 
     idx = _index(spark, sf_dir)
+    # regex leaves read raw content: bind the matcher to the driver
+    # docs (trigram-pruned — the Cox AND-claim path is what's gated)
+    content = _docs(spark, sf_dir).select("doc_id", "text")
+    rq = bq.make_regex_matcher(
+        content, text_col="text", trigram=doc_trigrams(content, text_col="text")
+    )
     bw = Window.partitionBy("phrase_id").orderBy(F.desc("cnt"), F.asc("doc_id"))
     for pid, qtext in BOOL_SPECS:
         parts.append(
-            bq.matches(idx, qtext, phrase_query=q)
+            bq.matches(idx, qtext, phrase_query=q, regex_query=rq)
             .select(
                 F.lit("bool").alias("mode"),
                 F.lit(pid).cast("int").alias("phrase_id"),

@@ -246,6 +246,25 @@ def main() -> None:
             phrase_query=pq,
         ).collect(),
     )
+    # the full leaf zoo in one ranked query (r05c): sloppy phrase +
+    # boost + prefix wildcard + trigram-pruned regex + NOT
+    from local_search_engine_spark.operators.trigram import doc_trigrams
+
+    rq = BQ.make_regex_matcher(
+        docs.select("doc_id", "text"),
+        text_col="text",
+        trigram=doc_trigrams(docs, text_col="text"),
+    )
+    bench(
+        "bool_leafzoo_topk",
+        lambda: BQ.topk(
+            idx,
+            '"fast table"~3^2 AND fas* AND /tab[a-z]+ [a-z]+ scan/ AND NOT merge',
+            20,
+            phrase_query=pq,
+            regex_query=rq,
+        ).collect(),
+    )
     pos_c.unpersist()
 
     from local_search_engine_spark.streaming.percolate import percolate

@@ -12,7 +12,10 @@ the reference's users reach for first when free text is too loose:
 
 (implicit AND between adjacent atoms, keywords case-insensitive,
 quoted strings are exact-phrase leaves matched by the POSITIONAL
-index, bare terms run through the shared engine tokenizer,
+index — with a trailing `~N` they become SLOPPY phrases (`"fast
+scan"~3`): unordered proximity within a ±N token radius of the first
+term, the same positional plan — bare terms run through the shared
+engine tokenizer,
 `field:value` / `field:>N` atoms are METADATA predicates — keyword
 semantics, verbatim value — evaluated against index.docs with the
 comparison pushed into the Parquet scan; all field leaves share ONE
@@ -26,7 +29,10 @@ FuzzyQuery semantics, vocabulary expansion via the SymSpell
 deletion-hash join of operators/spell.py, constant-score. Any atom —
 or parenthesised group — takes a trailing `^N` BOOST (`fast^2`,
 `"spark window"^0.5`, `(a OR b)^3`): matching-transparent, it scales
-the BM25 weight of the positive tokens beneath it at rank time).
+the BM25 weight of the positive tokens beneath it at rank time.
+`/pattern/` atoms are REGEX leaves over the raw document content —
+Lucene RegexpQuery's slash syntax, rlike semantics, trigram-pruned
+verify scan via make_regex_matcher — constant-score).
 
 Spark-first compilation — the whole query is THREE narrow stages and
 ONE shuffle, regardless of how many leaves it has:
@@ -142,6 +148,24 @@ class Fuzzy:
 
 
 @dataclass(frozen=True)
+class Regex:
+    """Regex leaf — `/merge_\\d+/` (Lucene RegexpQuery's slash syntax).
+    Matches docs whose raw CONTENT matches the pattern, unanchored
+    (rlike semantics) — the one leaf kind that reads document text, so
+    it needs a content source bound via make_regex_matcher(...) passed
+    as `regex_query=`. The matcher prunes with the trigram index when
+    one is provided (Cox trigram analysis, operators/trigram.py) and
+    always verifies with an exact rlike, so results equal a full-scan
+    rlike regardless of the index. Constant-score at rank time (same
+    CONSTANT_SCORE rationale as Prefix: the match set is not a term).
+    The pattern must be valid in BOTH Python re and Java regex — the
+    parser validates with Python's re.compile; stick to the common
+    subset (no lookbehind quirks, no Java-only constructs)."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
 class Field:
     """Metadata predicate leaf — `lang:en`, `n_chars:>300`,
     `source:"web crawl"`. The VALUE is verbatim (keyword semantics, no
@@ -192,7 +216,7 @@ class Bool:
     value: bool
 
 
-_TOKEN_RE = re.compile(r'"([^"]*)"|(\()|(\))|([^\s()"]+)')
+_TOKEN_RE = re.compile(r'/((?:\\.|[^/\\])+)/|"([^"]*)"|(\()|(\))|([^\s()"]+)')
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", re.S)
 # trailing boost suffix on a word token: `term^2`, `fast~1^0.5`, or a
 # bare `^3` (which the lexer emits standalone so it can follow a
@@ -273,13 +297,15 @@ def parse_query(text: str):
             )
         pos = m.end()
         if m.group(1) is not None:
-            toks.append(("phrase", m.group(1)))
-        elif m.group(2):
-            toks.append(("(", "("))
+            toks.append(("regex", m.group(1)))
+        elif m.group(2) is not None:
+            toks.append(("phrase", m.group(2)))
         elif m.group(3):
+            toks.append(("(", "("))
+        elif m.group(4):
             toks.append((")", ")"))
         else:
-            w = m.group(4)
+            w = m.group(5)
             up = w.upper()
             if up in ("AND", "OR", "NOT"):
                 toks.append((up, w))
@@ -324,7 +350,7 @@ def parse_query(text: str):
             if t == "AND":
                 i += 1
                 parts.append(not_expr())
-            elif t in ("NOT", "word", "phrase", "("):
+            elif t in ("NOT", "word", "phrase", "regex", "("):
                 parts.append(not_expr())  # implicit AND
             else:
                 break
@@ -355,13 +381,27 @@ def parse_query(text: str):
                 raise BoolQuerySyntaxError("unbalanced '('")
             i += 1
             return node
+        if t == "regex":
+            pat = toks[i][1]
+            i += 1
+            try:
+                re.compile(pat)  # early, driver-side validation
+            except re.error as e:
+                raise BoolQuerySyntaxError(f"invalid regex /{pat}/: {e}") from e
+            return Regex(pat)
         if t == "phrase":
             analyzed = tuple(tokenize_py(toks[i][1]))
             i += 1
+            slop = None
+            if peek() == "word" and re.fullmatch(r"~\d+", toks[i][1]):
+                slop = int(toks[i][1][1:])  # "phrase"~N sloppy match
+                i += 1
             if not analyzed:
                 return Bool(True)  # pruned clause
             if len(analyzed) == 1:
-                return Term(analyzed[0])
+                return Term(analyzed[0])  # slop on one term is vacuous
+            if slop:  # ~0 is Lucene's exact-phrase slop
+                return Near(analyzed, slop)
             return Phrase(analyzed)
         if t == "word":
             word = toks[i][1]
@@ -458,7 +498,7 @@ def collect_leaves(node) -> list:
     seen: set = set()
 
     def walk(n):
-        if isinstance(n, (Term, Phrase, Prefix, Fuzzy, Field)):
+        if isinstance(n, (Term, Phrase, Near, Prefix, Fuzzy, Field, Regex)):
             if n not in seen:
                 seen.add(n)
                 out.append(n)
@@ -488,7 +528,7 @@ def positive_token_counts(node) -> Counter:
         if isinstance(n, Term):
             if not neg:
                 counts[n.term] += w
-        elif isinstance(n, Phrase):
+        elif isinstance(n, (Phrase, Near)):
             if not neg:
                 for t in n.tokens:
                     counts[t] += w
@@ -514,7 +554,7 @@ def satisfiable_all_false(node) -> bool:
     plan must range over the full doc universe."""
     if isinstance(node, Bool):
         return node.value
-    if isinstance(node, (Term, Phrase, Prefix, Fuzzy, Field)):
+    if isinstance(node, (Term, Phrase, Near, Prefix, Fuzzy, Field, Regex)):
         return False
     if isinstance(node, Boost):
         return satisfiable_all_false(node.child)
@@ -617,7 +657,23 @@ def _fuzzy_expand(index, fuzzy_leaves) -> list:
     )
 
 
-def _leaf_hits(index, node, phrase_query):
+def make_regex_matcher(content, text_col: str = "content", trigram=None):
+    """Bind a content source (DataFrame with doc_id + `text_col`) — and
+    optionally a trigram index (operators/trigram.build_trigram_index)
+    — into the callable the Regex leaf compiler consumes:
+    matcher(pattern) → DataFrame(doc_id). Pruned by Cox trigram
+    analysis when the index is given, always rlike-verified."""
+    from .trigram import trigram_search_regex
+
+    def matcher(pattern: str):
+        return trigram_search_regex(
+            content, pattern, index=trigram, text_col=text_col, id_col="doc_id"
+        )
+
+    return matcher
+
+
+def _leaf_hits(index, node, phrase_query, regex_query=None):
     """(leaf_id int, doc_id long) for every leaf — terms in ONE tf scan,
     phrases in ONE positional plan. Returns (leaves, DataFrame)."""
     from pyspark.sql import functions as F
@@ -625,8 +681,16 @@ def _leaf_hits(index, node, phrase_query):
     spark = index.tf.sparkSession
     leaves = collect_leaves(node)
     term_leaves = [(i, l.term) for i, l in enumerate(leaves) if isinstance(l, Term)]
+    # exact phrases (window None) and sloppy phrases (window ±w) share
+    # the ONE positional matches_set plan — per-spec windows
     phrase_leaves = [
-        (i, " ".join(l.tokens)) for i, l in enumerate(leaves) if isinstance(l, Phrase)
+        (i, " ".join(l.tokens), None)
+        for i, l in enumerate(leaves)
+        if isinstance(l, Phrase)
+    ] + [
+        (i, " ".join(l.tokens), l.window)
+        for i, l in enumerate(leaves)
+        if isinstance(l, Near)
     ]
     field_leaves = [(i, l) for i, l in enumerate(leaves) if isinstance(l, Field)]
     prefix_leaves = [
@@ -636,6 +700,9 @@ def _leaf_hits(index, node, phrase_query):
         (i, l.stem, l.max_d)
         for i, l in enumerate(leaves)
         if isinstance(l, Fuzzy)
+    ]
+    regex_leaves = [
+        (i, l.pattern) for i, l in enumerate(leaves) if isinstance(l, Regex)
     ]
     if fuzzy_leaves:
         # fuzzy expansions become plain (leaf_id, term) pairs and ride
@@ -693,6 +760,21 @@ def _leaf_hits(index, node, phrase_query):
             F.col("term").isin(sorted({t for _, t in term_leaves}))
         )
         parts.append(tf.join(F.broadcast(lt), "term").select("leaf_id", "doc_id"))
+    if regex_leaves:
+        if regex_query is None:
+            raise ValueError(
+                "query has /regex/ leaves but no content source was "
+                "provided (pass regex_query=make_regex_matcher(...))"
+            )
+        # one verify scan per distinct pattern (regex leaves are rare
+        # per query; each is trigram-pruned when the matcher has an
+        # index, so the scan is the candidate set, not the corpus)
+        for i, pat in regex_leaves:
+            parts.append(
+                regex_query(pat).select(
+                    F.lit(i).cast("int").alias("leaf_id"), "doc_id"
+                )
+            )
     if phrase_leaves:
         if phrase_query is None:
             raise ValueError(
@@ -723,7 +805,7 @@ def _expr_col(node, hits_col):
     def walk(n):
         if isinstance(n, Bool):
             return F.lit(n.value)
-        if isinstance(n, (Term, Phrase, Prefix, Fuzzy, Field)):
+        if isinstance(n, (Term, Phrase, Near, Prefix, Fuzzy, Field, Regex)):
             return F.array_contains(hits_col, idx_of[n])
         if isinstance(n, Boost):  # matching-transparent
             return walk(n.child)
@@ -744,7 +826,7 @@ def _expr_col(node, hits_col):
     return walk(node)
 
 
-def matches(index, query: str, phrase_query=None):
+def matches(index, query: str, phrase_query=None, regex_query=None):
     """FILTER shape: every doc satisfying the boolean query —
     DataFrame(doc_id long, n_hits int) where n_hits = number of
     distinct leaves (any polarity) occurring in the doc. Unranked,
@@ -755,7 +837,7 @@ def matches(index, query: str, phrase_query=None):
     spark = index.tf.sparkSession
     if isinstance(node, Bool) and not node.value:
         return spark.createDataFrame([], "doc_id long, n_hits int")
-    leaves, leaf_df = _leaf_hits(index, node, phrase_query)
+    leaves, leaf_df = _leaf_hits(index, node, phrase_query, regex_query)
     hits = leaf_df.groupBy("doc_id").agg(F.collect_set("leaf_id").alias("hits"))
     if satisfiable_all_false(node):
         # non-restrictive (NOT-dominated) query: range over the full
@@ -771,7 +853,7 @@ def matches(index, query: str, phrase_query=None):
     )
 
 
-def topk(index, query: str, k: int, phrase_query=None):
+def topk(index, query: str, k: int, phrase_query=None, regex_query=None):
     """Boolean filter + BM25 rank: top-k of the boolean survivors scored
     by score_terms over the positive-leaf token multiset (module doc).
     DataFrame(rank int, doc_id long, score double) — score rounded to
@@ -782,7 +864,7 @@ def topk(index, query: str, k: int, phrase_query=None):
     from .query import score_terms
 
     node = parse_query(query) if isinstance(query, str) else query
-    survivors = matches(index, node, phrase_query=phrase_query)
+    survivors = matches(index, node, phrase_query=phrase_query, regex_query=regex_query)
     counts = positive_token_counts(node)
     if counts:
         scores = score_terms(index, dict(counts))

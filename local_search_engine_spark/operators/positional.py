@@ -218,6 +218,19 @@ def _encode_pos_group(pdf, span: int):
     part = int(pdf["part_id"].iloc[0])
     terms = pdf["term"].to_numpy()
     doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    # duplicate (term, doc_id) rows mean the SAME doc was indexed twice
+    # (e.g. a content-hash join fanned out on exact-dup texts without
+    # dropDuplicates). Duplicate composite keys violate the phrase
+    # kernel's intersect1d(assume_unique=True) and double phrase_tf —
+    # fail the build loudly, as with the id-range guard above.
+    if doc_ids.size > 1 and (
+        (terms[1:] == terms[:-1]) & (doc_ids[1:] == doc_ids[:-1])
+    ).any():
+        raise ValueError(
+            "duplicate doc_id in positional postings (the same document "
+            "indexed more than once) — dedup the corpus on doc_id "
+            "before indexing (e.g. dropDuplicates(['doc_id']))"
+        )
     tfs = pdf["tf"].to_numpy(np.int64)
     pos_bytes = pdf["posting_pos_vb"].to_numpy(object)
     block_ids = doc_ids // span
@@ -625,8 +638,16 @@ def make_phrase_topk(
     def _per_shard_matches(specs, window, count_col, out_schema):
         """(phrase_id, doc_id, count) per shard — specs carry k=None for
         UNCAPPED full-match mode (the must-contain filter shape), an int
-        k for shard-capped top-k mode."""
+        k for shard-capped top-k mode. window may be None/int (one mode
+        for the whole batch) or a per-spec dict {phrase_id: None|int} —
+        mixed exact-phrase and proximity specs then share the single
+        scan + shuffle (the boolean compiler's sloppy-phrase path)."""
         all_terms = sorted({t for _, q, _ in specs for t in q})
+        win_of = (
+            window
+            if isinstance(window, dict)
+            else {pid: window for pid, _, _ in specs}
+        )
 
         def match_fn(pdf):
             import pandas as pd
@@ -646,10 +667,11 @@ def make_phrase_topk(
                 arrays = _arrays_for(runs_by_term, q_terms, span, decoded_cache)
                 if arrays is None:
                     continue
-                if window is None:
+                win = win_of[pid]
+                if win is None:
                     docs, counts = phrase_occurrences(arrays, q_terms)
                 else:
-                    docs, counts = proximity_docs(arrays, q_terms, window)
+                    docs, counts = proximity_docs(arrays, q_terms, win)
                 if k is not None and docs.size > k:
                     # per-shard k-cap (the WAND heap's role here): the
                     # global top-k is a subset of the shard top-ks, so
@@ -734,19 +756,27 @@ def make_phrase_topk(
         """Batch filter shape: EVERY matching doc for EVERY phrase, in
         ONE plan (one bucket-pruned scan + one shuffle for the whole
         set) — (phrase_id, doc_id, phrase_tf), unranked and uncapped.
-        phrases: [(phrase_id, text)]. The boolean-query compiler's
-        phrase-leaf source (operators/boolquery.py)."""
+        phrases: [(phrase_id, text)] for exact phrases, or
+        [(phrase_id, text, window)] with window=None for exact /
+        window=w for a ±w proximity (sloppy) match — mixed specs share
+        the single scan. The boolean-query compiler's phrase- and
+        sloppy-phrase-leaf source (operators/boolquery.py); for
+        proximity rows phrase_tf carries n_anchors."""
         specs = []
-        for pid, text in phrases:
+        win_of = {}
+        for spec in phrases:
+            pid, text = spec[0], spec[1]
+            win = spec[2] if len(spec) > 2 else None
             q_terms = tokenizer(text)
             if q_terms:
                 specs.append((int(pid), q_terms, None))
+                win_of[int(pid)] = win
         if not specs:
             return spark.createDataFrame(
                 [], "phrase_id int, doc_id long, phrase_tf long"
             )
         return _per_shard_matches(
-            specs, None, "phrase_tf", "phrase_id int, doc_id long, phrase_tf long"
+            specs, win_of, "phrase_tf", "phrase_id int, doc_id long, phrase_tf long"
         )
 
     query.query_set = query_set

@@ -9,7 +9,7 @@ engine's operators.
   python scripts/code_search.py suggest --bm25-index IDX_DIR --prefix mer
   python scripts/code_search.py search  --corpus DIR --index ROOT --query 'merge shards fast'
   python scripts/code_search.py phrase  --corpus DIR --index ROOT --query 'merge batch' [--near 4]
-  python scripts/code_search.py bool    --corpus DIR --index ROOT --query '"merge batch" AND lang:python AND merg* AND NOT test'
+  python scripts/code_search.py bool    --corpus DIR --index ROOT --query '"merge batch"~3 AND lang:python AND merg*^2 AND /shard_\d/ AND NOT test'
 
 `index` persists the trigram inverted file plus a corpus fingerprint;
 `grep` uses the index when given (bucket-pruned candidate AND + exact
@@ -385,25 +385,36 @@ def cmd_phrase(spark, corpus, args) -> dict:
 
 def cmd_bool(spark, corpus, args) -> dict:
     """Boolean search (operators/boolquery.py): AND/OR/NOT, parens,
-    quoted exact phrases, trailing-star prefix wildcards (`merg*`,
-    constant-score), and field predicates over the index metadata
-    (`lang:python`, `repo:org0/repo1`, `doc_len:>200`) — ranked by BM25
-    over the positive-leaf terms. Reuses the persisted ROOT/bm25 index
-    (built on first use, manifest-keyed) and builds ROOT/pos only when
-    the query actually has phrase leaves."""
+    quoted exact phrases — `"a b"~3` sloppy/proximity phrases —
+    trailing-star prefix wildcards (`merg*`, constant-score), `fuzzy~1`
+    terms, `term^2` boosts, `/regex/` content leaves (trigram-pruned
+    rlike, constant-score), and field predicates over the index
+    metadata (`lang:python`, `repo:org0/repo1`, `doc_len:>200`) —
+    ranked by BM25 over the positive-leaf terms. Reuses the persisted
+    ROOT/bm25 index (built on first use, manifest-keyed) and builds
+    ROOT/pos only when the query actually has phrase leaves."""
     from pyspark.sql import functions as F
 
     from local_search_engine_spark.operators import boolquery as bq
     from local_search_engine_spark.plans.checkpoint import load_index
 
     node = bq.parse_query(args.query)
-    has_phrase = any(
-        isinstance(l, bq.Phrase) for l in bq.collect_leaves(node)
-    )
+    leaves = bq.collect_leaves(node)
+    has_phrase = any(isinstance(l, (bq.Phrase, bq.Near)) for l in leaves)
+    has_regex = any(isinstance(l, bq.Regex) for l in leaves)
     dirs = _ensure_search_indexes(spark, corpus, args.index)
     idx, _postings, _shard_meta, _stats = load_index(spark, dirs["bm25"])
     pq = _ensure_phrase_filter(spark, corpus, idx, dirs) if has_phrase else None
-    res = bq.topk(idx, node, args.k, phrase_query=pq)
+    rq = None
+    if has_regex:
+        # /regex/ leaves read raw content: join the corpus back onto
+        # the index's doc_id space by content hash (the id contract all
+        # CLI paths share), then in-plan trigram pruning + rlike verify
+        from local_search_engine_spark.operators.trigram import doc_trigrams
+
+        content = _docs_with_ids(corpus, idx).select("doc_id", "content")
+        rq = bq.make_regex_matcher(content, trigram=doc_trigrams(content))
+    res = bq.topk(idx, node, args.k, phrase_query=pq, regex_query=rq)
     # ≤k result rows broadcast against the doc table — it never shuffles
     rows = (
         idx.docs.select(

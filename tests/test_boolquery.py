@@ -16,13 +16,16 @@ from local_search_engine_spark.operators.boolquery import (
     BoolQuerySyntaxError,
     Boost,
     Field,
+    Near,
     Not,
     Or,
     Fuzzy,
     Phrase,
     Prefix,
+    Regex,
     Term,
     collect_leaves,
+    make_regex_matcher,
     matches,
     parse_query,
     positive_token_counts,
@@ -82,6 +85,18 @@ QUERIES = [
     "(table OR io)^2 AND scan",
     "NOT fast^2",  # boost under NOT: still non-restrictive
     "ta*^2 AND fast",  # boosted prefix: constant-score, still matches
+    # sloppy phrases (r05c): ±window proximity on the positional index
+    '"table scan"~2',
+    '"fast slow"~1 AND NOT agg',
+    '"table io"~3 OR "table scan"',  # sloppy + exact share one plan
+    'NOT "fast slow"~2',  # non-restrictive sloppy negation
+    '"table zzzz"~4',  # OOV constituent -> empty
+    '"fast slow"~1^2 AND table',  # slop then boost on the same leaf
+    # regex leaves (r05c): content rlike, constant-score
+    "/table scan/",  # substring-ish regex over the raw text
+    "/fa.t (slow|table)/ AND NOT agg",
+    "NOT /x1/",  # non-restrictive regex negation
+    "/zzqq[0-9]+/ OR io",  # no content matches -> identity
 ]
 
 LANGS = ["en", "de", "fr"]
@@ -111,7 +126,13 @@ def setup(spark):
         df, docs_per_shard=16, block_span=8, n_buckets=8
     )
     pq = make_phrase_topk(pos, block_span=8, n_buckets=8)
-    return rows, idx, pq
+    # regex matcher bound to the raw text + an in-plan trigram index
+    # (the pruned path; correctness is index-independent by contract)
+    from local_search_engine_spark.operators.trigram import doc_trigrams
+
+    content = df.select("doc_id", "text")
+    rq = make_regex_matcher(content, text_col="text", trigram=doc_trigrams(content, text_col="text"))
+    return rows, idx, pq, rq
 
 
 # --------------------------------------------------------------------------
@@ -183,10 +204,28 @@ def test_parse_shapes():
     for bad in ["^2", "fast^", "fast^x", "fast^2^3", '"x y"^2^3', "fast ^2 ^3"]:
         with pytest.raises(BoolQuerySyntaxError):
             parse_query(bad)
+    # sloppy phrases: ~N after a quoted phrase; ~0 folds to exact
+    # phrase, one-token slop folds to Term, slop composes with boost
+    assert parse_query('"table scan"~2') == Near(("table", "scan"), 2)
+    assert parse_query('"table scan"~0') == Phrase(("table", "scan"))
+    assert parse_query('"table"~3') == Term("table")
+    assert parse_query('"a b"~2') == Bool(True)  # analyzes empty
+    assert parse_query('"table scan"~2^4') == Boost(Near(("table", "scan"), 2), 4.0)
+    assert parse_query('NOT "fast slow"~1') == Not(Near(("fast", "slow"), 1))
+    # regex leaves: /.../ verbatim body (no analysis), escapes allowed,
+    # invalid patterns raise at parse time
+    assert parse_query("/table scan/") == Regex("table scan")
+    assert parse_query(r"/fa.t (slow|x)/ AND io") == And(
+        (Regex(r"fa.t (slow|x)"), Term("io"))
+    )
+    assert parse_query(r"/a\/b/") == Regex(r"a\/b")  # escaped slash
+    with pytest.raises(BoolQuerySyntaxError, match="invalid regex"):
+        parse_query("/foo(/")
+    assert parse_query("/table/^2") == Boost(Regex("table"), 2.0)
 
 
 def test_field_errors(setup):
-    _, idx, _ = setup
+    _, idx, _, _ = setup
     with pytest.raises(BoolQuerySyntaxError):
         parse_query("lang: AND table")  # bare 'field:' with no value
     with pytest.raises(ValueError, match="unknown field"):
@@ -241,6 +280,26 @@ def test_static_analysis():
     assert positive_token_counts(parse_query("table AND NOT fast^9")) == {
         "table": 1
     }
+    # sloppy phrases rank by their constituent tokens, like Phrase
+    n5 = parse_query('"table scan"~2 AND fast')
+    assert collect_leaves(n5) == [Near(("table", "scan"), 2), Term("fast")]
+    assert positive_token_counts(n5) == {"table": 1, "scan": 1, "fast": 1}
+    assert satisfiable_all_false(parse_query('NOT "table scan"~2'))
+
+
+def test_sloppy_contains_exact(setup):
+    """An exact phrase occurrence IS a ±w proximity occurrence for any
+    w ≥ 1 (the second token sits at anchor+1), so the exact match set
+    must be a subset of the sloppy one — and the sloppy set must be
+    genuinely larger on a corpus with scrambled co-occurrences."""
+    rows, idx, pq, rq = setup
+    exact = {r["doc_id"] for r in matches(idx, '"table scan"', phrase_query=pq).collect()}
+    sloppy = {
+        r["doc_id"]
+        for r in matches(idx, '"table scan"~3', phrase_query=pq).collect()
+    }
+    assert exact and exact <= sloppy
+    assert sloppy - exact  # window actually widens the set
 
 
 # --------------------------------------------------------------------------
@@ -278,6 +337,26 @@ def _eval(node, toks: list[str], meta: dict) -> bool:
         return any(
             toks[i : i + len(q)] == q for i in range(len(toks) - len(q) + 1)
         )
+    if isinstance(node, Regex):
+        import re as _re
+
+        return _re.search(node.pattern, meta["_raw"]) is not None
+    if isinstance(node, Near):
+        # independent twin of proximity_docs: anchor = first UNIQUE
+        # term; match iff some anchor position has every other unique
+        # term within ±window
+        uniq = list(dict.fromkeys(node.tokens))
+        anchors = [p for p, t in enumerate(toks) if t == uniq[0]]
+        others = [
+            {p for p, t in enumerate(toks) if t == u} for u in uniq[1:]
+        ]
+        return any(
+            all(
+                any(a - node.window <= p <= a + node.window for p in posns)
+                for posns in others
+            )
+            for a in anchors
+        )
     if isinstance(node, Prefix):
         return any(t.startswith(node.stem) for t in toks)
     if isinstance(node, Fuzzy):
@@ -303,7 +382,7 @@ def _brute_matches(rows, query: str) -> dict[int, int]:
     out = {}
     for doc_id, text, lang, n_chars in rows:
         toks = tokenize_py(text)
-        meta = {"lang": lang, "n_chars": n_chars}
+        meta = {"lang": lang, "n_chars": n_chars, "_raw": text}
         if _eval(node, toks, meta):
             out[doc_id] = sum(1 for l in leaves if _eval(l, toks, meta))
     return out
@@ -311,16 +390,16 @@ def _brute_matches(rows, query: str) -> dict[int, int]:
 
 @pytest.mark.parametrize("query", QUERIES)
 def test_matches_equals_bruteforce(setup, query):
-    rows, idx, pq = setup
+    rows, idx, pq, rq = setup
     got = {
         r["doc_id"]: r["n_hits"]
-        for r in matches(idx, query, phrase_query=pq).collect()
+        for r in matches(idx, query, phrase_query=pq, regex_query=rq).collect()
     }
     assert got == _brute_matches(rows, query), query
 
 
 def test_oov_identities(setup):
-    rows, idx, pq = setup
+    rows, idx, pq, rq = setup
     base = set(_brute_matches(rows, "table"))
     assert {r["doc_id"] for r in matches(idx, "table OR zzzz").collect()} == base
     assert {r["doc_id"] for r in matches(idx, "table AND NOT zzzz").collect()} == base
@@ -363,22 +442,48 @@ def _brute_topk(rows, idx, query: str, k: int):
         "fast^3 OR slow",  # boost: weighted BM25 reorders vs unboosted
         'fast^0.25 OR "table scan"^4',  # fractional + phrase boost
         "(table OR io)^2 AND scan^0.5",  # group boost distributes
+        '"table scan"~2 AND NOT agg',  # sloppy phrase ranks by tokens
+        '"fast slow"~1^2 OR io',  # sloppy + boost
+        "/table scan/ AND fast",  # regex constant-score: ranks like 'fast'
+        "/fa.t (slow|table)/",  # pure regex: all scores 0.0, doc_id order
     ],
 )
 def test_topk_equals_filtered_bm25(setup, query):
-    rows, idx, pq = setup
+    rows, idx, pq, rq = setup
     k = 12
     got = [
         (r["rank"], r["doc_id"], r["score"])
-        for r in topk(idx, query, k, phrase_query=pq).collect()
+        for r in topk(idx, query, k, phrase_query=pq, regex_query=rq).collect()
     ]
     assert got == _brute_topk(rows, idx, query, k), query
 
 
 def test_phrase_without_positional_index_raises(setup):
-    _, idx, _ = setup
+    _, idx, _, _ = setup
     with pytest.raises(ValueError, match="positional"):
         matches(idx, '"table scan"').collect()
+
+
+def test_regex_without_matcher_raises(setup):
+    _, idx, _, _ = setup
+    with pytest.raises(ValueError, match="regex"):
+        matches(idx, "/table/").collect()
+
+
+def test_regex_pruned_equals_unpruned(setup, spark):
+    """The trigram index is pure pruning: a matcher WITH the index and
+    one WITHOUT must produce identical doc sets for a literal-bearing
+    pattern (Cox AND-claim) and for an index-unusable pattern."""
+    rows, idx, pq, rq = setup
+    df = spark.createDataFrame(
+        [(d, t) for d, t, _, _ in rows], "doc_id long, text string"
+    )
+    bare = make_regex_matcher(df, text_col="text")
+    for pat in ["table scan", "fa.t (slow|table)", "x1( table)+"]:
+        q = f"/{pat}/"
+        with_idx = {r["doc_id"] for r in matches(idx, q, regex_query=rq).collect()}
+        without = {r["doc_id"] for r in matches(idx, q, regex_query=bare).collect()}
+        assert with_idx == without, pat
 
 
 def test_boost_score_linearity(setup):
@@ -386,7 +491,7 @@ def test_boost_score_linearity(setup):
     BM25 is linear in qtf, so every doc's score under `fast^2` must be
     exactly 2 × its score under `fast`, over the identical match set —
     and a boost must never change WHICH docs match."""
-    _, idx, pq = setup
+    _, idx, pq, _ = setup
     base = {
         r["doc_id"]: r["score"]
         for r in topk(idx, "fast", 1000, phrase_query=pq).collect()
@@ -405,7 +510,7 @@ def test_boost_reorders_topk(setup):
     """The point of a boost: `fast OR slow` and `fast^9 OR slow^0.1`
     must produce genuinely different orderings whenever both terms
     discriminate (docs heavy in one term outrank under its boost)."""
-    _, idx, pq = setup
+    _, idx, pq, _ = setup
     plain = [r["doc_id"] for r in topk(idx, "fast OR slow", 10, phrase_query=pq).collect()]
     slowed = [
         r["doc_id"]

@@ -322,3 +322,25 @@ def test_cli_bool_subcommand(spark, tmp_path):
         toks = tokenize_py(by_file[r["file"]][0])
         pairs = set(zip(toks, toks[1:]))
         assert ("merge", "shard") in pairs or ("shard", "merge") in pairs
+
+    # sloppy-phrase query (r05c): every hit has 'shard' within ±3 of a
+    # 'merge' occurrence; supersets the exact-phrase hits (k > n_docs
+    # so neither set is rank-cut — scores tie across the two queries)
+    out3 = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(query='"merge shard"~3', index=root, k=500),
+    )
+    sloppy_files = {r["file"] for r in out3["results"]}
+    for f in sloppy_files:
+        toks = tokenize_py(by_file[f][0])
+        mpos = [i for i, t in enumerate(toks) if t == "merge"]
+        spos = [i for i, t in enumerate(toks) if t == "shard"]
+        assert any(abs(a - b) <= 3 for a in mpos for b in spos), f
+    exact_files = {
+        r["file"]
+        for r in cmd_bool(
+            spark, corpus, argparse.Namespace(query='"merge shard"', index=root, k=500)
+        )["results"]
+    }
+    assert exact_files <= sloppy_files
