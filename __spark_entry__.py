@@ -2657,6 +2657,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sets). bm25_batch gains query_id 100+ rows (BOOLRANK_SPECS):
         the RANKED boolean path — boolean filter + BM25 over the
         positive-leaf token multiset, shared rounded-rank rule.
+      * r05b/r05c leaf-kind waves ride the same two gates, no slots
+        moved: BOOL_SPECS 5-7 field predicates, 8-9 prefix wildcards
+        (oracle LIKE), 10-11 fuzzy terms (oracle brute levenshtein),
+        12 boosted match-transparency twin, 13-14 sloppy phrases
+        (oracle BETWEEN-join anchors), 15-16 /regex/ content leaves
+        (engine Java-rlike + trigram prune vs oracle RE2
+        regexp_matches); BOOLRANK_SPECS 103-104 constant-score
+        prefix/fuzzy rank identities, 105-106 boosted weighted-BM25
+        (fractional qtf on both sides, exact-binary factors).
 
     The 12 gates the r02 driver window missed lead the dict; every cut
     gate's callable remains tested in tests/ (see SURVEY.md §8)."""
