@@ -278,6 +278,24 @@ def main() -> None:
             "doc_id",
         ).count(),
     )
+    # boolean percolation (r05c): standing saved-searches in the full
+    # query language, index-free, same zero-shuffle kernel family
+    from local_search_engine_spark.streaming.percolate import percolate_bool
+
+    bench(
+        "percolate_bool_batch",
+        lambda: percolate_bool(
+            docs,
+            [
+                (0, "table AND fast AND NOT merge"),
+                (1, '"fast table"~3 OR "spark window"'),
+                (2, "tab* AND NOT scan"),
+                (3, "/tab[a-z]+ [a-z]+ scan/ OR merge"),
+            ],
+            "text",
+            "doc_id",
+        ).count(),
+    )
 
     # --- training-data-pipeline operators -------------------------------
     bench("dedup_exact", lambda: D.exact_dedup_groups(docs, "text", "doc_id").count())

@@ -180,3 +180,295 @@ def percolate_stream(
         _match_batches_fn(specs, text_col, id_col, tokenizer),
         _out_schema(stream, id_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# boolean percolation — standing queries in the FULL query language
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _bool_batches_fn(
+    standing: list,  # [(qid, ast_node)]
+    leaves: list,  # global leaf order shared by every query
+    text_col: str,
+    id_col: str,
+    field_cols: list[str],
+    tokenizer: Callable[[str], list[str]],
+):
+    """mapInPandas kernel for boolean percolation. Per Arrow batch it
+    builds the SAME batch-level posting map as the phrase kernel, then
+    evaluates every leaf ONCE into a doc-level boolean mask (leaves are
+    deduplicated across the whole standing set, so a term shared by
+    500 standing queries costs one posting lookup), and every standing
+    AST as numpy mask algebra. The batch is the NOT-universe — exactly
+    the percolation semantics: "of the documents that just arrived,
+    which satisfy this saved search"."""
+    from ..operators import boolquery as bq
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            toks_per_doc = [
+                tokenizer(t if t is not None else "") for t in pdf[text_col]
+            ]
+            lens = np.asarray([len(t) for t in toks_per_doc], dtype=np.int64)
+            flat = [t for toks in toks_per_doc for t in toks]
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            pos_in_doc = (
+                np.concatenate([np.arange(m, dtype=np.int64) for m in lens if m])
+                if flat
+                else np.empty(0, np.int64)
+            )
+            comp = doc_idx * _DOC_SHIFT + pos_in_doc
+            if flat:
+                inv, terms = pd.factorize(np.asarray(flat, dtype=object))
+                order = np.argsort(inv, kind="stable")
+                grouped = comp[order]
+                starts = np.searchsorted(inv[order], np.arange(len(terms) + 1))
+                tid = {t: i for i, t in enumerate(terms)}
+                term_strs = np.asarray(terms, dtype=object)
+            else:
+                grouped = comp
+                starts = np.zeros(1, np.int64)
+                tid = {}
+                term_strs = np.asarray([], dtype=object)
+
+            def posting(t):
+                i = tid.get(t)
+                if i is None:
+                    return None
+                return grouped[starts[i] : starts[i + 1]]
+
+            def docs_mask(docs):
+                m = np.zeros(n, dtype=bool)
+                m[docs] = True
+                return m
+
+            def term_union_mask(idxs):
+                m = np.zeros(n, dtype=bool)
+                for i in idxs:
+                    m[grouped[starts[i] : starts[i + 1]] // _DOC_SHIFT] = True
+                return m
+
+            masks = []
+            for leaf in leaves:
+                if isinstance(leaf, bq.Term):
+                    p = posting(leaf.term)
+                    masks.append(
+                        np.zeros(n, bool) if p is None else docs_mask(p // _DOC_SHIFT)
+                    )
+                elif isinstance(leaf, bq.Phrase):
+                    arr = None
+                    for k, t in enumerate(leaf.tokens):
+                        p = posting(t)
+                        if p is None:
+                            arr = None
+                            break
+                        arr = p if arr is None else np.intersect1d(
+                            arr, p - k, assume_unique=True
+                        )
+                        if arr.size == 0:
+                            arr = None
+                            break
+                    masks.append(
+                        np.zeros(n, bool)
+                        if arr is None
+                        else docs_mask(arr // _DOC_SHIFT)
+                    )
+                elif isinstance(leaf, bq.Near):
+                    uniq = list(dict.fromkeys(leaf.tokens))
+                    ps = [posting(t) for t in uniq]
+                    if any(p is None for p in ps):
+                        masks.append(np.zeros(n, bool))
+                        continue
+                    a = ps[0]
+                    ok = np.ones(a.size, dtype=bool)
+                    for p in ps[1:]:
+                        lo = np.searchsorted(p, a - leaf.window, side="left")
+                        hi = np.searchsorted(p, a + leaf.window, side="right")
+                        ok &= hi > lo
+                    masks.append(docs_mask(a[ok] // _DOC_SHIFT))
+                elif isinstance(leaf, bq.Prefix):
+                    hit = np.flatnonzero(
+                        np.char.startswith(term_strs.astype(str), leaf.stem)
+                    ) if term_strs.size else []
+                    masks.append(term_union_mask(hit))
+                elif isinstance(leaf, bq.Fuzzy):
+                    lo, hi = len(leaf.stem) - leaf.max_d, len(leaf.stem) + leaf.max_d
+                    hit = [
+                        i
+                        for i, t in enumerate(term_strs)
+                        if lo <= len(t) <= hi
+                        and _levenshtein(t, leaf.stem) <= leaf.max_d
+                    ]
+                    masks.append(term_union_mask(hit))
+                elif isinstance(leaf, bq.Regex):
+                    masks.append(
+                        pdf[text_col]
+                        .str.contains(leaf.pattern, regex=True, na=False)
+                        .to_numpy(dtype=bool)
+                    )
+                else:  # Field
+                    col = pdf[leaf.name]
+                    want = (
+                        float(leaf.value)
+                        if pd.api.types.is_numeric_dtype(col)
+                        else leaf.value
+                    )
+                    op = leaf.op
+                    if op == "=":
+                        m = col == want
+                    elif op == ">":
+                        m = col > want
+                    elif op == ">=":
+                        m = col >= want
+                    elif op == "<":
+                        m = col < want
+                    else:
+                        m = col <= want
+                    masks.append(m.to_numpy(dtype=bool))
+
+            mask_of = {leaf: m for leaf, m in zip(leaves, masks)}
+
+            def ev(node):
+                if isinstance(node, bq.Bool):
+                    return np.full(n, node.value, dtype=bool)
+                if isinstance(node, bq.Boost):
+                    return ev(node.child)
+                if isinstance(node, bq.Not):
+                    return ~ev(node.child)
+                if isinstance(node, bq.And):
+                    m = ev(node.children[0])
+                    for c in node.children[1:]:
+                        m = m & ev(c)
+                    return m
+                if isinstance(node, bq.Or):
+                    m = ev(node.children[0])
+                    for c in node.children[1:]:
+                        m = m | ev(c)
+                    return m
+                return mask_of[node]
+
+            ids_np = pdf[id_col].to_numpy()
+            out = []
+            for qid, node in standing:
+                hit = np.flatnonzero(ev(node))
+                if hit.size:
+                    # n_hits = distinct leaves of THIS query present in
+                    # the doc — the same statistic boolquery.matches
+                    # reports, so the two paths compare row-for-row
+                    q_leaves = bq.collect_leaves(node)
+                    nh = (
+                        np.sum(
+                            np.stack([mask_of[l] for l in q_leaves]), axis=0
+                        ).astype(np.int64)
+                        if q_leaves
+                        else np.zeros(n, np.int64)
+                    )
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                id_col: ids_np[hit],
+                                "query_id": np.full(hit.size, qid, dtype=np.int32),
+                                "n_hits": nh[hit],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def _bind_bool(queries, df, text_col: str, id_col: str):
+    """Parse + validate the standing boolean set against the incoming
+    schema. Returns (standing, leaves, field_cols, out_schema)."""
+    from ..operators import boolquery as bq
+
+    standing = []
+    all_leaves: list = []
+    seen: set = set()
+    for qid, qtext in queries:
+        node = bq.parse_query(qtext) if isinstance(qtext, str) else qtext
+        standing.append((int(qid), node))
+        for leaf in bq.collect_leaves(node):
+            if leaf not in seen:
+                seen.add(leaf)
+                all_leaves.append(leaf)
+    field_cols = sorted({l.name for l in all_leaves if isinstance(l, bq.Field)})
+    missing = [c for c in field_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"standing queries use field leaves {missing} not present in "
+            f"the document schema {df.columns}"
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
+    return standing, all_leaves, field_cols, f"{id_col} {id_type}, query_id int, n_hits long"
+
+
+def percolate_bool(
+    docs,
+    queries: list[tuple[int, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: Callable[[str], list[str]] = tokenize_py,
+):
+    """Boolean percolation (batch twin): standing saved-searches in the
+    FULL boolean query language (operators/boolquery.py — AND/OR/NOT,
+    phrases, "a b"~w slop, prefix*, fuzzy~d, /regex/, field:predicates,
+    boosts are matching-transparent) matched index-free against a
+    document batch. Output (id, query_id, n_hits) where n_hits counts
+    the distinct standing-set leaves present in the doc — the same
+    statistic boolquery.matches reports, so the index path and the
+    percolation path are directly comparable (pinned in
+    tests/test_percolate.py). Same narrow zero-shuffle plan as
+    percolate(); NOT semantics range over the incoming batch, which IS
+    the percolation universe."""
+    standing, leaves, field_cols, out_schema = _bind_bool(
+        queries, docs, text_col, id_col
+    )
+    spark = docs.sparkSession
+    if not standing:
+        return spark.createDataFrame([], out_schema)
+    cols = [id_col, text_col, *field_cols]
+    return docs.select(*cols).mapInPandas(
+        _bool_batches_fn(standing, leaves, text_col, id_col, field_cols, tokenizer),
+        out_schema,
+    )
+
+
+def percolate_bool_stream(
+    stream,
+    queries: list[tuple[int, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: Callable[[str], list[str]] = tokenize_py,
+):
+    """Streaming shape of percolate_bool — stateless, no watermark, the
+    caller attaches the sink (foreachBatch/append) exactly as with
+    percolate_stream."""
+    standing, leaves, field_cols, out_schema = _bind_bool(
+        queries, stream, text_col, id_col
+    )
+    if not standing:
+        raise ValueError("percolate_bool_stream needs at least one query")
+    cols = [id_col, text_col, *field_cols]
+    return stream.select(*cols).mapInPandas(
+        _bool_batches_fn(standing, leaves, text_col, id_col, field_cols, tokenizer),
+        out_schema,
+    )

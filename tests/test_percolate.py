@@ -165,3 +165,129 @@ def test_percolate_stream_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         percolate_stream(stream, [(0, "!!")])
+
+
+# ---------------------------------------------------------------------------
+# boolean percolation (r05c)
+# ---------------------------------------------------------------------------
+
+BOOL_STANDING = [
+    (0, "table AND scan AND NOT agg"),
+    (1, '"table scan" OR fast'),
+    (2, '"fast io"~3 AND NOT "table scan"'),
+    (3, "ta* AND io"),
+    (4, "tabel~1 OR /fast io/"),
+    (5, "NOT table"),  # batch-universe NOT
+    (6, "lang:en AND n_chars:>20 AND table"),
+    (7, "fast^2 AND scan"),  # boost is matching-transparent
+    (8, "zz_absent AND table"),  # OOV conjunct -> no rows
+]
+
+
+def _bool_rows(n=60, seed=33):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        text = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(0, 25)))
+        rows.append((i, text, ["en", "de"][i % 2], len(text)))
+    rows.append((n, "", "en", 0))
+    rows.append((n + 1, "fast x1 y2 io table scan", "de", 24))
+    return rows
+
+
+def test_percolate_bool_equals_index_path(spark):
+    """Engine-vs-engine identity: the index-free boolean percolator and
+    boolquery.matches over an index of the SAME docs must produce the
+    identical (doc_id, query_id, n_hits) rows for every standing query
+    across every leaf kind (term/phrase/slop/prefix/fuzzy/regex/field/
+    boost/NOT)."""
+    from local_search_engine_spark.operators import boolquery as bq
+    from local_search_engine_spark.operators.build import build_index_from
+    from local_search_engine_spark.operators.positional import (
+        build_positional_postings,
+        make_phrase_topk,
+    )
+    from local_search_engine_spark.operators.trigram import doc_trigrams
+    from local_search_engine_spark.streaming.percolate import percolate_bool
+
+    rows = _bool_rows()
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).repartition(4)
+    got = {
+        (r["doc_id"], r["query_id"], r["n_hits"])
+        for r in percolate_bool(df, BOOL_STANDING).collect()
+    }
+
+    idx = build_index_from(df, text_col="text")
+    pq = make_phrase_topk(
+        build_positional_postings(df, docs_per_shard=16, block_span=8, n_buckets=8),
+        block_span=8,
+        n_buckets=8,
+    )
+    content = df.select("doc_id", "text")
+    rq = bq.make_regex_matcher(
+        content, text_col="text", trigram=doc_trigrams(content, text_col="text")
+    )
+    want = set()
+    for qid, q in BOOL_STANDING:
+        for r in bq.matches(idx, q, phrase_query=pq, regex_query=rq).collect():
+            want.add((r["doc_id"], qid, r["n_hits"]))
+    assert got == want
+    assert any(q == 8 for _, q, _ in got) is False  # OOV conjunct empty
+    assert got  # non-vacuous
+
+
+def test_percolate_bool_field_schema_validation(spark):
+    from local_search_engine_spark.streaming.percolate import percolate_bool
+
+    df = spark.createDataFrame([(0, "table scan")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="field leaves"):
+        percolate_bool(df, [(0, "lang:en AND table")]).collect()
+
+
+def test_percolate_bool_stream_matches_batch(spark, tmp_path):
+    """The streaming shape over micro-batched file input equals the
+    batch twin — and the batch boundary is invisible (NOT ranges over
+    each incoming batch, which is the percolation universe)."""
+    from local_search_engine_spark.streaming.percolate import (
+        percolate_bool,
+        percolate_bool_stream,
+    )
+
+    rows = _bool_rows(40)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    src = str(tmp_path / "src")
+    # two files -> at least two micro-batches under maxFilesPerTrigger=1
+    df.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    df.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    standing = [q for q in BOOL_STANDING if q[0] != 6] + [
+        (6, "lang:en AND n_chars:>20 AND table")
+    ]
+    out = percolate_bool_stream(stream, standing)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_bool_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["query_id"], r["n_hits"])
+        for r in spark.sql("SELECT * FROM perc_bool_mem").collect()
+    }
+    want = {
+        (r["doc_id"], r["query_id"], r["n_hits"])
+        for r in percolate_bool(df, standing).collect()
+    }
+    assert got == want and got
