@@ -13,7 +13,10 @@ Usage:
       --phrases-file standing.json [--available-now]
 
 --phrases is a JSON list of [query_id, phrase] pairs (or use
---phrases-file). The streaming mode is stateless (no watermark, no
+--phrases-file). With --bool each entry is instead a standing BOOLEAN
+query in the full language of operators/boolquery.py ('"merge shard"~4
+AND lang:python AND NOT /test_/'), matched index-free by
+percolate_bool. The streaming mode is stateless (no watermark, no
 state store): restart safety is the sink checkpoint + source offsets,
 and throughput scales linearly with executors. spark-submit-shaped like
 the sibling scripts.
@@ -32,6 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from local_search_engine_spark.session import get_spark
 from local_search_engine_spark.streaming.percolate import (
     percolate,
+    percolate_bool,
+    percolate_bool_stream,
     percolate_stream,
 )
 
@@ -45,6 +50,8 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--bool", dest="bool_mode", action="store_true",
+                    help="entries are boolean queries (full query language)")
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
@@ -65,7 +72,8 @@ def main() -> None:
             ap.error("--stream requires --out")
         schema = spark.read.parquet(args.docs).schema
         stream = spark.readStream.schema(schema).parquet(args.docs)
-        matched = percolate_stream(
+        perc_s = percolate_bool_stream if args.bool_mode else percolate_stream
+        matched = perc_s(
             stream, phrases, text_col=args.text_col, id_col=args.id_col
         )
         writer = (
@@ -89,7 +97,8 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         docs = spark.read.parquet(args.docs)
-        hits = percolate(docs, phrases, text_col=args.text_col, id_col=args.id_col)
+        perc_b = percolate_bool if args.bool_mode else percolate
+        hits = perc_b(docs, phrases, text_col=args.text_col, id_col=args.id_col)
         if args.out:
             hits.write.mode("overwrite").parquet(args.out)
             hits = spark.read.parquet(args.out)

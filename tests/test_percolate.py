@@ -291,3 +291,48 @@ def test_percolate_bool_stream_matches_batch(spark, tmp_path):
         for r in percolate_bool(df, standing).collect()
     }
     assert got == want and got
+
+
+def test_percolate_cli_bool_batch(spark, tmp_path):
+    """scripts/percolate.py --bool end to end in a subprocess: standing
+    boolean queries over a parquet dir, JSON result with per-query
+    counts equal to the in-process percolate_bool."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from local_search_engine_spark.streaming.percolate import percolate_bool
+
+    rows = _bool_rows(40)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    standing = [
+        [0, "table AND scan AND NOT agg"],
+        [1, '"fast io"~3 OR lang:de'],
+    ]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "scripts", "percolate.py"),
+            "--docs", src,
+            "--bool",
+            "--phrases", _json.dumps(standing),
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = _json.loads(proc.stdout.strip().splitlines()[-1])
+    want = {
+        int(r["query_id"]): int(r["n"])
+        for r in percolate_bool(df, [(int(a), b) for a, b in standing])
+        .groupBy("query_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert out["per_query_matches"] == {str(k): v for k, v in want.items()} or \
+        {int(k): v for k, v in out["per_query_matches"].items()} == want
+    assert out["n_matches"] == sum(want.values()) > 0
