@@ -518,3 +518,37 @@ def test_boost_reorders_topk(setup):
     ]
     assert set() != set(plain)
     assert plain != slowed
+
+
+def test_bool_leaf_filters_push_to_parquet(spark, tmp_path):
+    """Scale contract: on a PERSISTED index, term leaves reach the tf
+    parquet scan as an In(term, ...) pushed filter and prefix leaves as
+    StringStartsWith — row groups outside the leaves' term ranges never
+    decompress. Pinned on the physical plan text."""
+    import contextlib
+    import io
+
+    from local_search_engine_spark.operators import boolquery as bq
+    from local_search_engine_spark.plans.checkpoint import (
+        build_persisted_index,
+        load_index,
+    )
+    from local_search_engine_spark.sources.corpus import gen_corpus_spark
+
+    corpus = gen_corpus_spark(spark, 80, partitions=4)
+    d = str(tmp_path / "idx")
+    build_persisted_index(spark, corpus, d, text_col="content")
+    idx, _, _, _ = load_index(spark, d)
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(True)
+        return buf.getvalue()
+
+    p1 = plan_of(bq.matches(idx, "merge AND shard"))
+    assert "PushedFilters" in p1
+    assert "In(term, [merge,shard])" in p1 or "In(term, [shard,merge])" in p1, p1[-3000:]
+
+    p2 = plan_of(bq.matches(idx, "mer* AND NOT batch"))
+    assert "StringStartsWith(term,mer)" in p2, p2[-3000:]
