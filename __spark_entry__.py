@@ -383,9 +383,14 @@ def _phrase_sql(specs, near_specs=(), perc_specs=(), bool_specs=()) -> str:
         parse_query as _bq_parse,
     )
 
+    # mode='boolperc' (r05c): the SAME standing boolean queries, same
+    # independent oracle — but the ENGINE side is the index-free
+    # percolator (percolate_bool), so the driver hash-checks two
+    # structurally different engine evaluators against one oracle
     for pid, qtext in bool_specs:
         node = _bq_parse(qtext)
         kvals.append(f"('bool', {pid}, 2147483647)")
+        kvals.append(f"('boolperc', {pid}, 2147483647)")
         leaves = _bq_leaves(node)
         if leaves:
             leaf_union = " UNION ALL ".join(
@@ -393,13 +398,14 @@ def _phrase_sql(specs, near_specs=(), perc_specs=(), bool_specs=()) -> str:
             )
         else:
             leaf_union = "SELECT NULL::bigint AS doc_id WHERE FALSE"
-        parts.append(
-            f"SELECT 'bool' AS mode, {pid}::int AS phrase_id, m.doc_id, "
-            f"coalesce(h.cnt, 0)::bigint AS cnt "
-            f"FROM ({_bool_set_sql(node, 'tok')}) m "
-            f"LEFT JOIN (SELECT doc_id, count(*)::bigint AS cnt "
-            f"FROM ({leaf_union}) GROUP BY 1) h ON h.doc_id = m.doc_id"
-        )
+        for mode in ("bool", "boolperc"):
+            parts.append(
+                f"SELECT '{mode}' AS mode, {pid}::int AS phrase_id, m.doc_id, "
+                f"coalesce(h.cnt, 0)::bigint AS cnt "
+                f"FROM ({_bool_set_sql(node, 'tok')}) m "
+                f"LEFT JOIN (SELECT doc_id, count(*)::bigint AS cnt "
+                f"FROM ({leaf_union}) GROUP BY 1) h ON h.doc_id = m.doc_id"
+            )
     union = " UNION ALL ".join(parts)
     return f"""
 WITH tok AS (
@@ -1787,6 +1793,23 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(bw).cast("int"))
             .select("mode", "phrase_id", "rank", "doc_id", "cnt")
         )
+    # mode='boolperc' (r05c): the SAME standing queries answered by the
+    # INDEX-FREE boolean percolator (streaming/percolate.py) — two
+    # structurally different engine evaluators, one oracle. One
+    # zero-shuffle pass answers the whole standing set.
+    from local_search_engine_spark.streaming.percolate import percolate_bool
+
+    pb = percolate_bool(_docs(spark, sf_dir), BOOL_SPECS)
+    parts.append(
+        pb.select(
+            F.lit("boolperc").alias("mode"),
+            F.col("query_id").cast("int").alias("phrase_id"),
+            "doc_id",
+            F.col("n_hits").cast("long").alias("cnt"),
+        )
+        .withColumn("rank", F.row_number().over(bw).cast("int"))
+        .select("mode", "phrase_id", "rank", "doc_id", "cnt")
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -2666,6 +2689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regexp_matches); BOOLRANK_SPECS 103-104 constant-score
         prefix/fuzzy rank identities, 105-106 boosted weighted-BM25
         (fractional qtf on both sides, exact-binary factors).
+        mode='boolperc' duplicates every BOOL_SPECS row family with
+        the INDEX-FREE boolean percolator (percolate_bool) as the
+        engine side — two structurally different engine evaluators
+        (index joins vs batch-local numpy masks) hash-checked against
+        the one set-algebra oracle.
 
     The 12 gates the r02 driver window missed lead the dict; every cut
     gate's callable remains tested in tests/ (see SURVEY.md §8)."""
