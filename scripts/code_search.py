@@ -426,7 +426,7 @@ def cmd_bool(spark, corpus, args) -> dict:
         .orderBy("rank")
         .collect()
     )
-    return {
+    out = {
         "cmd": "bool",
         "query": args.query,
         "results": [
@@ -439,6 +439,27 @@ def cmd_bool(spark, corpus, args) -> dict:
             for r in rows
         ],
     }
+    facet = getattr(args, "facet", None)
+    if facet:
+        # facet counts run over the FULL boolean match set (matches(),
+        # uncapped — facets describe the result space, not the top-k
+        # page): one groupBy on the requested metadata column
+        if facet not in idx.docs.columns:
+            raise ValueError(
+                f"unknown facet column '{facet}' — index.docs has: "
+                f"{sorted(idx.docs.columns)}"
+            )
+        allm = bq.matches(idx, node, phrase_query=pq, regex_query=rq)
+        fc = (
+            idx.docs.select("doc_id", facet)
+            .join(allm.select("doc_id"), "doc_id")
+            .groupBy(facet)
+            .count()
+            .orderBy(F.desc("count"), F.asc(facet))
+            .collect()
+        )
+        out["facets"] = {str(r[facet]): int(r["count"]) for r in fc}
+    return out
 
 
 def main() -> None:
@@ -463,6 +484,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--near", type=int, default=None,
                     help="proximity window for `phrase` (tokens, ±)")
+    ap.add_argument("--facet", default=None,
+                    help="bool: also count the FULL match set by this "
+                         "metadata column (e.g. --facet lang)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 

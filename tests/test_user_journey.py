@@ -344,3 +344,25 @@ def test_cli_bool_subcommand(spark, tmp_path):
         )["results"]
     }
     assert exact_files <= sloppy_files
+
+    # facets (r05c): counts by metadata column over the FULL boolean
+    # match set (not the top-k page) — ground-truthed per language
+    out4 = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(query="merge AND shard", index=root, k=5, facet="lang"),
+    )
+    want_counts: dict = {}
+    for f, (c, lang) in by_file.items():
+        toks = tokenize_py(c)
+        if "merge" in toks and "shard" in toks:
+            want_counts[lang] = want_counts.get(lang, 0) + 1
+    assert out4["facets"] == want_counts and sum(want_counts.values()) > 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown facet"):
+        cmd_bool(
+            spark,
+            corpus,
+            argparse.Namespace(query="merge", index=root, k=5, facet="nope"),
+        )
