@@ -7,9 +7,9 @@ engine's operators.
   python scripts/code_search.py def     --corpus DIR --symbol mergeShards
   python scripts/code_search.py related --corpus DIR --file 'org0/repo1:src/mod5/file_56.py'
   python scripts/code_search.py suggest --bm25-index IDX_DIR --prefix mer
-  python scripts/code_search.py search  --corpus DIR --index ROOT --query 'merge shards fast'
+  python scripts/code_search.py search  --corpus DIR --index ROOT --query '"merge shard" fast -test'
   python scripts/code_search.py phrase  --corpus DIR --index ROOT --query 'merge batch' [--near 4]
-  python scripts/code_search.py bool    --corpus DIR --index ROOT --query '"merge batch"~3 AND lang:python AND merg*^2 AND /shard_\d/ AND NOT test'
+  python scripts/code_search.py bool    --corpus DIR --index ROOT --query '"merge batch"~3 AND lang:python AND merg*^2 AND /shard_[0-9]/ AND NOT test'
 
 `index` persists the trigram inverted file plus a corpus fingerprint;
 `grep` uses the index when given (bucket-pruned candidate AND + exact
@@ -179,8 +179,9 @@ def _ensure_phrase_filter(spark, corpus, idx, dirs):
 def cmd_search(spark, corpus, args) -> dict:
     """Persisted WAND + persisted ANN → RRF → snippets, end to end.
 
-    Double-quoted spans in the query are MUST-MATCH phrases (standard
-    search-box grammar): ranking runs over the full term set, then the
+    Double-quoted spans in the query are MUST-MATCH phrases and
+    `-term` words are hard EXCLUSIONS (standard search-box grammar):
+    ranking runs over the full positive term set, then the
     fused candidates are semi-joined against the positional index's
     full-match set for every quoted phrase (operators/positional.py
     `matches` — uncapped filter shape) before the final top-k cut, so a
@@ -207,10 +208,17 @@ def cmd_search(spark, corpus, args) -> dict:
         idx, postings, shard_meta, n_buckets=stats.get("n_buckets")
     )
     k = args.k
-    quoted = re.findall(r'"([^"]+)"', args.query or "")
+    raw_query = args.query or ""
+    # standard search-box minus syntax: `-term` at a word boundary is a
+    # hard EXCLUSION (never applied inside hyphenated words like
+    # foo-bar; quoted spans keep their own must-match grammar below)
+    excl_words = re.findall(r'(?:^|\s)-([^\s"]+)', raw_query)
+    excl_toks = sorted({t for w in excl_words for t in tokenize_py(w)})
+    query = re.sub(r'(?:^|\s)-[^\s"]+', " ", raw_query)
+    quoted = re.findall(r'"([^"]+)"', query)
     quoted = [p for p in quoted if tokenize_py(p)]
-    free_query = re.sub(r'"', " ", args.query)  # rank over ALL terms
-    fetch_k = max(k * 4, 50) if quoted else k
+    free_query = re.sub(r'"', " ", query)  # rank over ALL positive terms
+    fetch_k = max(k * 4, 50) if (quoted or excl_toks) else k
     sparse = wand(free_query, fetch_k, prune=True).select(
         F.col("doc_id").alias("id"), "rank"
     )
@@ -220,6 +228,28 @@ def cmd_search(spark, corpus, args) -> dict:
         spark, dirs["ann"], qv, fetch_k, probe_hamming=1
     ).select("id", "rank")
     fused = rrf_fuse(dense, sparse, topk=fetch_k)
+    if excl_toks:
+        # docs containing ANY excluded token leave the candidate pool
+        # (and the phrase fallback pool below, which joins off fused's
+        # survivors): one pushed term IN (...) scan + a broadcast
+        # anti-join of the tiny excluded-id set
+        excl_ids = (
+            idx.tf.filter(F.col("term").isin(excl_toks))
+            .select(F.col("doc_id").alias("id"))
+            .distinct()
+        )
+        fused = fused.join(excl_ids, "id", "left_anti")
+        if not quoted:
+            # no quoted branch downstream to re-densify: cut the
+            # over-fetched survivor pool at k with dense ranks here
+            surv = fused.orderBy("fused_rank").limit(k).collect()
+            fused = spark.createDataFrame(
+                [
+                    (i + 1, r["id"], r["rank_d"], r["rank_s"], float(r["rrf_score"]))
+                    for i, r in enumerate(surv)
+                ],
+                "fused_rank int, id long, rank_d int, rank_s int, rrf_score double",
+            )
     if quoted:
         from functools import reduce
 
@@ -234,6 +264,12 @@ def cmd_search(spark, corpus, args) -> dict:
             .agg(F.count("*").alias("n_ph"), F.sum("phrase_tf").alias("tot_tf"))
             .filter(F.col("n_ph") == len(quoted))
         )
+        if excl_toks:
+            # the recall fallback tops up from allm directly, so the
+            # exclusion must hold there too, not just on fused
+            allm = allm.join(
+                excl_ids.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+            )
         fused = fused.join(
             allm.select(F.col("doc_id").alias("id")), "id", "left_semi"
         )
@@ -282,7 +318,7 @@ def cmd_search(spark, corpus, args) -> dict:
     )
     snips = best_snippets(
         hits.select("doc_id", "content"),
-        tokenize_py(args.query),
+        tokenize_py(query),  # positive terms only — exclusions stripped
         text_col="content",
         id_col="doc_id",
     )

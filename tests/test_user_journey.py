@@ -366,3 +366,68 @@ def test_cli_bool_subcommand(spark, tmp_path):
             corpus,
             argparse.Namespace(query="merge", index=root, k=5, facet="nope"),
         )
+
+
+def test_cli_search_minus_exclusion(spark, tmp_path):
+    """`-term` in the composed search is a hard exclusion: the result
+    set equals the un-excluded result set minus every doc containing
+    the token — including via the quoted-phrase recall fallback — and
+    no returned doc contains the excluded token."""
+    import argparse
+
+    from scripts.code_search import cmd_search
+
+    from local_search_engine_spark.functions.tokenize import tokenize_py
+
+    corpus = gen_corpus_spark(spark, 120, partitions=4)
+    root = str(tmp_path / "root")
+    by_file = {
+        r["file"]: r["content"]
+        for r in corpus.selectExpr(
+            "concat_ws(':', repo, path) AS file", "content"
+        ).collect()
+    }
+    # pick a selective exclusion token: present in SOME merge∧shard
+    # docs (non-vacuous) but not all (doesn't empty the results)
+    tok_sets = {f: set(tokenize_py(c)) for f, c in by_file.items()}
+    excl = next(
+        t
+        for t in sorted({t for s in tok_sets.values() for t in s if t.startswith("kw")})
+        if 0 < sum(1 for s in tok_sets.values() if t in s) < len(tok_sets) // 2
+    )
+    plain = cmd_search(
+        spark, corpus, argparse.Namespace(query="merge shard", index=root, k=10)
+    )
+    minus = cmd_search(
+        spark,
+        corpus,
+        argparse.Namespace(query=f"merge shard -{excl}", index=root, k=10),
+    )
+    assert minus["results"], "exclusion emptied the results"
+    for r in minus["results"]:
+        assert excl not in tok_sets[r["file"]], r["file"]
+    assert [r["rank"] for r in minus["results"]] == list(
+        range(1, len(minus["results"]) + 1)
+    )
+    assert plain["results"]
+
+    # exclusion composes with quoted must-match + its recall fallback
+    both = cmd_search(
+        spark,
+        corpus,
+        argparse.Namespace(query=f'"merge shard" -{excl}', index=root, k=50),
+    )
+    assert both["results"]
+    for r in both["results"]:
+        toks = tokenize_py(by_file[r["file"]])
+        assert excl not in toks
+        assert any(
+            (a, b) == ("merge", "shard") for a, b in zip(toks, toks[1:])
+        )
+    # and the quoted+excluded result is a strict subset of quoted-only
+    quoted_only = cmd_search(
+        spark, corpus, argparse.Namespace(query='"merge shard"', index=root, k=50)
+    )
+    qf = {r["file"] for r in quoted_only["results"]}
+    bf = {r["file"] for r in both["results"]}
+    assert bf <= qf or len(bf) == 50  # subset unless both sets hit the k cap
