@@ -176,6 +176,7 @@ def _bool_leaf_sql(leaf, style: str) -> str:
         Fuzzy,
         Near,
         Phrase,
+        PhrasePrefix,
         Prefix,
         Regex,
         Term,
@@ -187,6 +188,25 @@ def _bool_leaf_sql(leaf, style: str) -> str:
         pat = leaf.pattern.replace("'", "''")
         return (
             f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{pat}')"
+        )
+    if isinstance(leaf, PhrasePrefix):
+        # independent evaluator: exact-head self-join chain + one final
+        # LIKE-joined position for the open stem
+        assert style == "tok", leaf
+        pat = leaf.stem.replace("_", r"\_") + "%"
+        L = len(leaf.tokens)
+        joins = " ".join(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i} "
+            f"AND t{i}.t = '{t}'"
+            for i, t in enumerate(leaf.tokens[1:], 1)
+        )
+        joins += (
+            f" JOIN tok tp ON tp.doc_id = t0.doc_id AND tp.p = t0.p + {L} "
+            f"AND tp.t LIKE '{pat}' ESCAPE '\\'"
+        )
+        return (
+            f"SELECT DISTINCT t0.doc_id AS doc_id FROM tok t0 {joins} "
+            f"WHERE t0.t = '{leaf.tokens[0]}'"
         )
     if isinstance(leaf, Near):
         # independent proximity evaluator (BETWEEN joins, twin of the
@@ -255,6 +275,7 @@ def _bool_set_sql(node, style: str) -> str:
         Not,
         Or,
         Phrase,
+        PhrasePrefix,
         Prefix,
         Regex,
         Term,
@@ -268,7 +289,7 @@ def _bool_set_sql(node, style: str) -> str:
         )
     if isinstance(node, Boost):  # matching-transparent (rank-only)
         return _bool_set_sql(node.child, style)
-    if isinstance(node, (Term, Phrase, Near, Prefix, Fuzzy, Field, Regex)):
+    if isinstance(node, (Term, Phrase, Near, PhrasePrefix, Prefix, Fuzzy, Field, Regex)):
         return _bool_leaf_sql(node, style)
     if isinstance(node, Not):
         return (
@@ -822,6 +843,11 @@ BOOL_SPECS = [
     # vs DuckDB-RE2 oracle — patterns in the common syntax subset
     (15, "/fast [a-z]+ scan/ AND NOT merge"),
     (16, "/merge[sd]? [a-z]+ shard/ OR fast"),
+    # phrase-prefix leaves (r05c): search-as-you-type — exact head +
+    # open last position; oracle = head self-join chain + LIKE'd final
+    # position. Also runs through the percolator (mode='boolperc').
+    (17, '"fast sc*" AND NOT merge'),
+    (18, '"merge gro*" OR "spark window"'),
 ]
 # ranked boolean rows ride bm25_batch (query_id 100+): boolean filter
 # + BM25 over the positive-leaf token multiset, shared rounded-rank

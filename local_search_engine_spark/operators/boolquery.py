@@ -117,6 +117,23 @@ class Near:
 
 
 @dataclass(frozen=True)
+class PhrasePrefix:
+    """Phrase-prefix leaf — `"merge sha*"` (search-as-you-type;
+    Elasticsearch match_phrase_prefix). The head tokens match exactly
+    at consecutive positions and the NEXT position holds any indexed
+    token starting with the stem — the positional kernel intersects
+    the head's composite keys with the union of every stem-matching
+    term's postings (operators/positional.phrase_prefix_occurrences).
+    An empty analyzed head folds to a plain Prefix. Rank-time the HEAD
+    tokens join the positive multiset; the open stem contributes
+    nothing (the Prefix constant-score rationale). Slop cannot combine
+    with a trailing star."""
+
+    tokens: tuple  # exact head, tuple[str, ...]
+    stem: str
+
+
+@dataclass(frozen=True)
 class Prefix:
     """Trailing-star wildcard leaf — `merg*`. Matches every indexed
     term that starts with the stem (Lucene PrefixQuery). The stem is
@@ -390,12 +407,33 @@ def parse_query(text: str):
                 raise BoolQuerySyntaxError(f"invalid regex /{pat}/: {e}") from e
             return Regex(pat)
         if t == "phrase":
-            analyzed = tuple(tokenize_py(toks[i][1]))
+            raw = toks[i][1]
             i += 1
+            stem = None
+            if raw.rstrip().endswith("*"):
+                # "merge sha*" — phrase-prefix (search-as-you-type):
+                # the LAST word is an open prefix stem
+                head, _, last = raw.rstrip()[:-1].rpartition(" ")
+                stem = last.lower()
+                if not _STEM_RE.fullmatch(stem):
+                    raise BoolQuerySyntaxError(
+                        "phrase-prefix stem must be a single term "
+                        f"([a-z0-9_]+): {raw!r}"
+                    )
+                raw = head
+            analyzed = tuple(tokenize_py(raw))
             slop = None
             if peek() == "word" and re.fullmatch(r"~\d+", toks[i][1]):
                 slop = int(toks[i][1][1:])  # "phrase"~N sloppy match
                 i += 1
+            if stem is not None:
+                if slop:
+                    raise BoolQuerySyntaxError(
+                        'a trailing star cannot combine with slop ("a b*"~2)'
+                    )
+                if not analyzed:  # '"mer*"' ≡ mer*
+                    return Prefix(stem)
+                return PhrasePrefix(analyzed, stem)
             if not analyzed:
                 return Bool(True)  # pruned clause
             if len(analyzed) == 1:
@@ -498,7 +536,7 @@ def collect_leaves(node) -> list:
     seen: set = set()
 
     def walk(n):
-        if isinstance(n, (Term, Phrase, Near, Prefix, Fuzzy, Field, Regex)):
+        if isinstance(n, (Term, Phrase, Near, PhrasePrefix, Prefix, Fuzzy, Field, Regex)):
             if n not in seen:
                 seen.add(n)
                 out.append(n)
@@ -528,7 +566,7 @@ def positive_token_counts(node) -> Counter:
         if isinstance(n, Term):
             if not neg:
                 counts[n.term] += w
-        elif isinstance(n, (Phrase, Near)):
+        elif isinstance(n, (Phrase, Near, PhrasePrefix)):
             if not neg:
                 for t in n.tokens:
                     counts[t] += w
@@ -554,7 +592,7 @@ def satisfiable_all_false(node) -> bool:
     plan must range over the full doc universe."""
     if isinstance(node, Bool):
         return node.value
-    if isinstance(node, (Term, Phrase, Near, Prefix, Fuzzy, Field, Regex)):
+    if isinstance(node, (Term, Phrase, Near, PhrasePrefix, Prefix, Fuzzy, Field, Regex)):
         return False
     if isinstance(node, Boost):
         return satisfiable_all_false(node.child)
@@ -691,6 +729,10 @@ def _leaf_hits(index, node, phrase_query, regex_query=None):
         (i, " ".join(l.tokens), l.window)
         for i, l in enumerate(leaves)
         if isinstance(l, Near)
+    ] + [
+        (i, " ".join(l.tokens), None, l.stem)
+        for i, l in enumerate(leaves)
+        if isinstance(l, PhrasePrefix)
     ]
     field_leaves = [(i, l) for i, l in enumerate(leaves) if isinstance(l, Field)]
     prefix_leaves = [
@@ -805,7 +847,7 @@ def _expr_col(node, hits_col):
     def walk(n):
         if isinstance(n, Bool):
             return F.lit(n.value)
-        if isinstance(n, (Term, Phrase, Near, Prefix, Fuzzy, Field, Regex)):
+        if isinstance(n, (Term, Phrase, Near, PhrasePrefix, Prefix, Fuzzy, Field, Regex)):
             return F.array_contains(hits_col, idx_of[n])
         if isinstance(n, Boost):  # matching-transparent
             return walk(n.child)

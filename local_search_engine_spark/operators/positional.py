@@ -550,6 +550,73 @@ def _arrays_for(runs_by_term, q_terms, span: int, decoded_cache: dict):
     return out
 
 
+def _prefix_union_arrays(runs_by_term, stem: str, span: int, decoded_cache, allowed=None):
+    """(docs, pos) union over EVERY shard term starting with `stem`,
+    restricted to `allowed` block ids when given (the phrase terms'
+    candidate blocks — a doc matching the exact head must carry its
+    postings there). (doc, pos) pairs are unique across distinct terms
+    (one token per position), so the sorted union is intersect-safe.
+    Returns None when no shard term matches the stem."""
+    from ..functions.codec import decode_block
+
+    doc_parts, pos_parts = [], []
+    for t, runs in runs_by_term.items():
+        if not t.startswith(stem):
+            continue
+        for row in runs.itertuples(index=False):
+            if allowed is not None and int(row.block_id) not in allowed:
+                continue
+            key = (t, int(row.block_id), int(row.first_doc_id))
+            hit = decoded_cache.get(key)
+            if hit is None:
+                d, tf = decode_block(
+                    row.doc_ids_vb, row.tfs_vb, int(row.block_id) * span
+                )
+                hit = (np.repeat(d, tf), decode_positions(row.pos_vb, tf))
+                decoded_cache[key] = hit
+            doc_parts.append(hit[0])
+            pos_parts.append(hit[1])
+    if not doc_parts:
+        return None
+    return np.concatenate(doc_parts), np.concatenate(pos_parts)
+
+
+def phrase_prefix_occurrences(
+    term_arrays, q_terms: list[str], prefix_pairs
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, match_tf) for a PHRASE-PREFIX query (search-as-you-
+    type, Elasticsearch match_phrase_prefix): q_terms occupy positions
+    0..L-1 exactly and position L holds ANY token starting with the
+    stem (prefix_pairs = the union (docs, pos) of every matching
+    term's postings). Same composite-key intersection as
+    phrase_occurrences with the prefix union as the final term."""
+    L1 = len(q_terms) + 1
+    keys = None
+    for i, t in enumerate(q_terms):
+        if t not in term_arrays:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, pos = term_arrays[t]
+        k = (docs.astype(np.uint64) << _DOC_SHIFT) + (pos - i + L1).astype(np.uint64)
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    pdocs, ppos = prefix_pairs
+    pk = (pdocs.astype(np.uint64) << _DOC_SHIFT) + (
+        ppos - len(q_terms) + L1
+    ).astype(np.uint64)
+    pk.sort()
+    keys = (
+        pk
+        if keys is None
+        else np.intersect1d(keys, pk, assume_unique=True)
+    )
+    if keys.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    match_docs = (keys >> _DOC_SHIFT).astype(np.int64)
+    uniq, counts = np.unique(match_docs, return_counts=True)
+    return uniq, counts.astype(np.int64)
+
+
 def phrase_occurrences(term_arrays, q_terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """(doc_ids, phrase_tf) of exact-phrase occurrences, fully
     vectorized: intersect composite (doc, normalized-start) keys across
@@ -626,28 +693,42 @@ def make_phrase_topk(
     span = block_span or DEFAULT_BLOCK_SPAN
     spark = postings.sparkSession
 
-    def _scan(all_terms: list[str]):
+    def _scan(all_terms: list[str], stems: tuple = ()):
         scan = postings
-        if n_buckets and "term_bucket" in postings.columns:
+        if n_buckets and "term_bucket" in postings.columns and not stems:
             from ..functions.hashing import h32_py
 
             buckets = sorted({h32_py(t) % n_buckets for t in all_terms})
             scan = scan.filter(F.col("term_bucket").isin(buckets))
-        return scan.filter(F.col("term").isin(sorted(set(all_terms))))
+        pred = None
+        if all_terms:
+            pred = F.col("term").isin(sorted(set(all_terms)))
+        # an open prefix cannot bucket-prune (h32 buckets don't preserve
+        # prefixes) — the StringStartsWith still pushes to Parquet and
+        # prunes row groups on the term-sorted persisted layout
+        for s in sorted(set(stems)):
+            p = F.col("term").startswith(s)
+            pred = p if pred is None else (pred | p)
+        return scan.filter(pred)
 
-    def _per_shard_matches(specs, window, count_col, out_schema):
+    def _per_shard_matches(specs, window, count_col, out_schema, stem_of=None):
         """(phrase_id, doc_id, count) per shard — specs carry k=None for
         UNCAPPED full-match mode (the must-contain filter shape), an int
         k for shard-capped top-k mode. window may be None/int (one mode
         for the whole batch) or a per-spec dict {phrase_id: None|int} —
         mixed exact-phrase and proximity specs then share the single
-        scan + shuffle (the boolean compiler's sloppy-phrase path)."""
+        scan + shuffle (the boolean compiler's sloppy-phrase path).
+        stem_of maps phrase_id → trailing prefix stem for PHRASE-PREFIX
+        specs ("merge sha*"): the scan cannot push `term IN` for the
+        open last position, so those specs switch the scan filter to an
+        OR with startswith(stem)."""
         all_terms = sorted({t for _, q, _ in specs for t in q})
         win_of = (
             window
             if isinstance(window, dict)
             else {pid: window for pid, _, _ in specs}
         )
+        stem_of = stem_of or {}
 
         def match_fn(pdf):
             import pandas as pd
@@ -668,7 +749,22 @@ def make_phrase_topk(
                 if arrays is None:
                     continue
                 win = win_of[pid]
-                if win is None:
+                stem = stem_of.get(pid)
+                if stem is not None:
+                    # phrase-prefix: restrict the prefix union to the
+                    # exact head's candidate blocks (same doc-range
+                    # alignment argument as _arrays_for)
+                    allowed = None
+                    for t in dict.fromkeys(q_terms):
+                        blocks = set(runs_by_term[t]["block_id"].tolist())
+                        allowed = blocks if allowed is None else allowed & blocks
+                    pre = _prefix_union_arrays(
+                        runs_by_term, stem, span, decoded_cache, allowed
+                    )
+                    if pre is None:
+                        continue
+                    docs, counts = phrase_prefix_occurrences(arrays, q_terms, pre)
+                elif win is None:
                     docs, counts = phrase_occurrences(arrays, q_terms)
                 else:
                     docs, counts = proximity_docs(arrays, q_terms, win)
@@ -692,7 +788,7 @@ def make_phrase_topk(
             )
 
         return (
-            _scan(all_terms)
+            _scan(all_terms, stems=tuple(s for s in stem_of.values() if s))
             .groupBy("part_id")
             .applyInPandas(match_fn, out_schema)
         )
@@ -758,25 +854,35 @@ def make_phrase_topk(
         set) — (phrase_id, doc_id, phrase_tf), unranked and uncapped.
         phrases: [(phrase_id, text)] for exact phrases, or
         [(phrase_id, text, window)] with window=None for exact /
-        window=w for a ±w proximity (sloppy) match — mixed specs share
-        the single scan. The boolean-query compiler's phrase- and
-        sloppy-phrase-leaf source (operators/boolquery.py); for
+        window=w for a ±w proximity (sloppy) match, or
+        [(phrase_id, text, None, stem)] for a PHRASE-PREFIX match
+        (exact head then any token starting with stem — search-as-you-
+        type) — mixed specs share the single scan. The boolean-query
+        compiler's phrase-leaf source (operators/boolquery.py); for
         proximity rows phrase_tf carries n_anchors."""
         specs = []
         win_of = {}
+        stem_of = {}
         for spec in phrases:
             pid, text = spec[0], spec[1]
             win = spec[2] if len(spec) > 2 else None
+            stem = spec[3] if len(spec) > 3 else None
             q_terms = tokenizer(text)
-            if q_terms:
+            if q_terms or stem:
                 specs.append((int(pid), q_terms, None))
                 win_of[int(pid)] = win
+                if stem:
+                    stem_of[int(pid)] = stem
         if not specs:
             return spark.createDataFrame(
                 [], "phrase_id int, doc_id long, phrase_tf long"
             )
         return _per_shard_matches(
-            specs, win_of, "phrase_tf", "phrase_id int, doc_id long, phrase_tf long"
+            specs,
+            win_of,
+            "phrase_tf",
+            "phrase_id int, doc_id long, phrase_tf long",
+            stem_of=stem_of,
         )
 
     query.query_set = query_set

@@ -290,6 +290,38 @@ def _bool_batches_fn(
                         if arr is None
                         else docs_mask(arr // _DOC_SHIFT)
                     )
+                elif isinstance(leaf, bq.PhrasePrefix):
+                    arr = None
+                    dead = False
+                    for k, t in enumerate(leaf.tokens):
+                        p = posting(t)
+                        if p is None:
+                            dead = True
+                            break
+                        arr = p if arr is None else np.intersect1d(
+                            arr, p - k, assume_unique=True
+                        )
+                        if arr.size == 0:
+                            dead = True
+                            break
+                    hit = (
+                        np.flatnonzero(
+                            np.char.startswith(term_strs.astype(str), leaf.stem)
+                        )
+                        if term_strs.size
+                        else np.empty(0, np.int64)
+                    )
+                    if dead or hit.size == 0:
+                        masks.append(np.zeros(n, bool))
+                        continue
+                    pk = np.concatenate(
+                        [grouped[starts[i] : starts[i + 1]] for i in hit]
+                    )
+                    pk.sort()
+                    arr = np.intersect1d(
+                        arr, pk - len(leaf.tokens), assume_unique=True
+                    )
+                    masks.append(docs_mask(arr // _DOC_SHIFT))
                 elif isinstance(leaf, bq.Near):
                     uniq = list(dict.fromkeys(leaf.tokens))
                     ps = [posting(t) for t in uniq]

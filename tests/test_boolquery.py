@@ -21,6 +21,7 @@ from local_search_engine_spark.operators.boolquery import (
     Or,
     Fuzzy,
     Phrase,
+    PhrasePrefix,
     Prefix,
     Regex,
     Term,
@@ -92,6 +93,12 @@ QUERIES = [
     'NOT "fast slow"~2',  # non-restrictive sloppy negation
     '"table zzzz"~4',  # OOV constituent -> empty
     '"fast slow"~1^2 AND table',  # slop then boost on the same leaf
+    # phrase-prefix leaves (r05c): search-as-you-type
+    '"table sc*"',
+    '"table s*" AND NOT agg',  # several expansions (scan+slow)
+    '"fast zz*" OR io',  # dead stem -> identity
+    '"table scan ta*"',  # 2-token head
+    'NOT "table sc*"',  # non-restrictive
     # regex leaves (r05c): content rlike, constant-score
     "/table scan/",  # substring-ish regex over the raw text
     "/fa.t (slow|table)/ AND NOT agg",
@@ -212,6 +219,15 @@ def test_parse_shapes():
     assert parse_query('"a b"~2') == Bool(True)  # analyzes empty
     assert parse_query('"table scan"~2^4') == Boost(Near(("table", "scan"), 2), 4.0)
     assert parse_query('NOT "fast slow"~1') == Not(Near(("fast", "slow"), 1))
+    # phrase-prefix: trailing star inside the quotes; empty head folds
+    # to Prefix; star+slop is rejected; boost composes
+    assert parse_query('"table sc*"') == PhrasePrefix(("table",), "sc")
+    assert parse_query('"table scan ta*"') == PhrasePrefix(("table", "scan"), "ta")
+    assert parse_query('"mer*"') == Prefix("mer")
+    assert parse_query('"table sc*"^2') == Boost(PhrasePrefix(("table",), "sc"), 2.0)
+    for bad in ['"table sc*"~2', '"table s-c*"', '"table *"']:
+        with pytest.raises(BoolQuerySyntaxError):
+            parse_query(bad)
     # regex leaves: /.../ verbatim body (no analysis), escapes allowed,
     # invalid patterns raise at parse time
     assert parse_query("/table scan/") == Regex("table scan")
@@ -341,6 +357,15 @@ def _eval(node, toks: list[str], meta: dict) -> bool:
         import re as _re
 
         return _re.search(node.pattern, meta["_raw"]) is not None
+    if isinstance(node, PhrasePrefix):
+        q = list(node.tokens)
+        L = len(q)
+        return any(
+            toks[i : i + L] == q
+            and i + L < len(toks)
+            and toks[i + L].startswith(node.stem)
+            for i in range(len(toks) - L)
+        )
     if isinstance(node, Near):
         # independent twin of proximity_docs: anchor = first UNIQUE
         # term; match iff some anchor position has every other unique

@@ -181,6 +181,7 @@ BOOL_STANDING = [
     (6, "lang:en AND n_chars:>20 AND table"),
     (7, "fast^2 AND scan"),  # boost is matching-transparent
     (8, "zz_absent AND table"),  # OOV conjunct -> no rows
+    (9, '"table sc*" OR "fast io"'),  # phrase-prefix (search-as-you-type)
 ]
 
 
