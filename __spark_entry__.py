@@ -2710,7 +2710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         moved: BOOL_SPECS 5-7 field predicates, 8-9 prefix wildcards
         (oracle LIKE), 10-11 fuzzy terms (oracle brute levenshtein),
         12 boosted match-transparency twin, 13-14 sloppy phrases
-        (oracle BETWEEN-join anchors), 15-16 /regex/ content leaves
+        (oracle BETWEEN-join anchors), 15-16 /regex/ content leaves,
+        17-18 phrase-prefix leaves (oracle head chain + LIKE'd final
+        position)
         (engine Java-rlike + trigram prune vs oracle RE2
         regexp_matches); BOOLRANK_SPECS 103-104 constant-score
         prefix/fuzzy rank identities, 105-106 boosted weighted-BM25
