@@ -577,3 +577,85 @@ def test_bool_leaf_filters_push_to_parquet(spark, tmp_path):
 
     p2 = plan_of(bq.matches(idx, "mer* AND NOT batch"))
     assert "StringStartsWith(term,mer)" in p2, p2[-3000:]
+
+
+# --------------------------------------------------------------------------
+# to_query_string round-trip (hypothesis)
+# --------------------------------------------------------------------------
+
+
+def _ast_strategy():
+    """Parser-normal-form ASTs: And/Or flattened (no same-type direct
+    child), no double-NOT, no Bool constants, boosts merged (no nested
+    Boost) with round-trippable factors, analyzable term charset."""
+    import hypothesis.strategies as st
+
+    from local_search_engine_spark.operators.boolquery import to_query_string
+
+    word = st.from_regex(r"[a-z][a-z0-9_]{1,7}", fullmatch=True).filter(
+        lambda w: w.upper() not in ("AND", "OR", "NOT")
+        and tokenize_py(w) == [w]
+    )
+    words = st.lists(word, min_size=2, max_size=4).map(tuple)
+    factor = st.sampled_from([0.5, 2.0, 3.0, 0.25, 8.0, 0.0])
+
+    leaf = st.one_of(
+        word.map(Term),
+        words.map(Phrase),
+        st.tuples(words, st.integers(1, 5)).map(lambda t: Near(*t)),
+        st.tuples(words, word).map(lambda t: PhrasePrefix(*t)),
+        word.map(Prefix),
+        st.tuples(word, st.integers(1, 2)).map(lambda t: Fuzzy(*t)),
+        st.from_regex(r"[a-z][a-z ]{0,6}[a-z]", fullmatch=True).map(Regex),
+        st.tuples(
+            st.sampled_from(["lang", "source", "n_chars"]),
+            st.sampled_from(["=", ">", ">=", "<", "<="]),
+            st.from_regex(r"[a-z0-9]{1,6}", fullmatch=True),
+        ).map(lambda t: Field(*t)),
+    )
+
+    def boostable(children):
+        return st.one_of(
+            children,
+            st.tuples(children, factor).map(lambda t: _mk(Boost, t)),
+        )
+
+    def _mk(cls, t):
+        node, f = t
+        if isinstance(node, (Bool, Boost)) or f == 1.0:
+            return node
+        return cls(node, f)
+
+    def extend(children):
+        flat_and = st.lists(
+            st.one_of(
+                children,
+                children.map(Not).filter(
+                    lambda n: not isinstance(n.child, Not)
+                ),
+            ),
+            min_size=2,
+            max_size=3,
+        ).filter(
+            lambda cs: not any(isinstance(c, And) for c in cs)
+        ).map(lambda cs: And(tuple(cs)))
+        flat_or = st.lists(children, min_size=2, max_size=3).filter(
+            lambda cs: not any(isinstance(c, Or) for c in cs)
+        ).map(lambda cs: Or(tuple(cs)))
+        return st.one_of(boostable(flat_and), boostable(flat_or))
+
+    return st.recursive(boostable(leaf), extend, max_leaves=8)
+
+
+def test_to_query_string_roundtrip():
+    import hypothesis
+    from hypothesis import given
+
+    from local_search_engine_spark.operators.boolquery import to_query_string
+
+    @given(_ast_strategy())
+    @hypothesis.settings(max_examples=300, deadline=None)
+    def check(ast):
+        assert parse_query(to_query_string(ast)) == ast
+
+    check()
