@@ -259,7 +259,8 @@ def main() -> None:
         "bool_leafzoo_topk",
         lambda: BQ.topk(
             idx,
-            '"fast table"~3^2 AND fas* AND /tab[a-z]+ [a-z]+ scan/ AND NOT merge',
+            '"fast ta*" AND "fast table"~3^2 AND fas* AND '
+            "/tab[a-z]+ [a-z]+ scan/ AND NOT merge",
             20,
             phrase_query=pq,
             regex_query=rq,
