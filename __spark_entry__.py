@@ -915,6 +915,13 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(qid).alias("query_id"), "rank", "doc_id", "score"
             )
         )
+    # query_id 107 (r05c): SORT-BY-FIELD — relevance replaced by a
+    # numeric doc column (n_chars desc), score = the field value
+    out = out.unionByName(
+        bq.topk(idx, "fast AND scan", 10, sort_by=("n_chars", False)).select(
+            F.lit(107).alias("query_id"), "rank", "doc_id", "score"
+        )
+    )
     return out
 
 
@@ -2798,6 +2805,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {qid} AS query_id, rank, doc_id, score "
             f"FROM ({_bool_bm25_sql(qtext, k)})"
         )
+    # query_id 107: sort-by-field twin — boolean set ordered by the
+    # n_chars doc column (doc_id tiebreak), score = field as double
+    from local_search_engine_spark.operators.boolquery import parse_query as _bqp
+    _sort_set = _bool_set_sql(_bqp("fast AND scan"), "tf")
+    batch_sqls.append(f"""
+SELECT 107 AS query_id, rank, doc_id, score FROM (
+  WITH {_BM25_CTES}
+  SELECT row_number() OVER (ORDER BY d.n_chars DESC, b.doc_id)::int AS rank,
+         b.doc_id, d.n_chars::double AS score
+  FROM ({_sort_set}) b JOIN documents d USING (doc_id)) WHERE rank <= 10""")
     sc_vals = ", ".join(
         f"('{t}', {c})" for t, c in sorted(Counter(tokenize_py(RRF_QUERY)).items())
     )

@@ -946,11 +946,17 @@ def matches(index, query: str, phrase_query=None, regex_query=None):
     )
 
 
-def topk(index, query: str, k: int, phrase_query=None, regex_query=None):
+def topk(index, query: str, k: int, phrase_query=None, regex_query=None, sort_by=None):
     """Boolean filter + BM25 rank: top-k of the boolean survivors scored
     by score_terms over the positive-leaf token multiset (module doc).
     DataFrame(rank int, doc_id long, score double) — score rounded to
-    6dp BEFORE ranking (the engine-wide rounded-rank rule)."""
+    6dp BEFORE ranking (the engine-wide rounded-rank rule).
+
+    sort_by=(column, ascending) replaces relevance with a NUMERIC
+    index.docs metadata column (Elasticsearch's sort clause): survivors
+    order by the field (doc_id tiebreak) and `score` carries the field
+    value cast to double. Still limit-before-rank — the field join is
+    two columns, the heap is k."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -958,6 +964,28 @@ def topk(index, query: str, k: int, phrase_query=None, regex_query=None):
 
     node = parse_query(query) if isinstance(query, str) else query
     survivors = matches(index, node, phrase_query=phrase_query, regex_query=regex_query)
+    if sort_by is not None:
+        col, asc = sort_by
+        dtypes = dict(index.docs.dtypes)
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        if col not in dtypes:
+            raise ValueError(
+                f"unknown sort column '{col}' — index.docs has: {sorted(dtypes)}"
+            )
+        if dtypes[col] not in numeric and not dtypes[col].startswith("decimal"):
+            raise ValueError(
+                f"sort_by requires a numeric doc column; '{col}' is {dtypes[col]}"
+            )
+        scored = survivors.join(index.docs.select("doc_id", col), "doc_id")
+        order = [
+            F.asc(col) if asc else F.desc(col),
+            F.asc("doc_id"),
+        ]
+        top = scored.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", F.col(col).cast("double").alias("score")
+        )
     counts = positive_token_counts(node)
     if counts:
         scores = score_terms(index, dict(counts))

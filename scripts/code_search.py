@@ -435,6 +435,13 @@ def cmd_bool(spark, corpus, args) -> dict:
     from local_search_engine_spark.plans.checkpoint import load_index
 
     node = bq.parse_query(args.query)
+    sort_by = None
+    raw_sort = getattr(args, "sort", None)
+    if raw_sort:
+        col, _, d = raw_sort.partition(":")
+        if d not in ("", "asc", "desc"):
+            raise ValueError(f"--sort direction must be asc|desc: {raw_sort!r}")
+        sort_by = (col, d != "desc")
     leaves = bq.collect_leaves(node)
     has_phrase = any(isinstance(l, (bq.Phrase, bq.Near)) for l in leaves)
     has_regex = any(isinstance(l, bq.Regex) for l in leaves)
@@ -450,7 +457,7 @@ def cmd_bool(spark, corpus, args) -> dict:
 
         content = _docs_with_ids(corpus, idx).select("doc_id", "content")
         rq = bq.make_regex_matcher(content, trigram=doc_trigrams(content))
-    res = bq.topk(idx, node, args.k, phrase_query=pq, regex_query=rq)
+    res = bq.topk(idx, node, args.k, phrase_query=pq, regex_query=rq, sort_by=sort_by)
     # ≤k result rows broadcast against the doc table — it never shuffles
     rows = (
         idx.docs.select(
@@ -523,6 +530,9 @@ def main() -> None:
     ap.add_argument("--facet", default=None,
                     help="bool: also count the FULL match set by this "
                          "metadata column (e.g. --facet lang)")
+    ap.add_argument("--sort", default=None,
+                    help="bool: order results by a numeric doc column "
+                         "instead of relevance (e.g. --sort doc_len:desc)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 

@@ -659,3 +659,29 @@ def test_to_query_string_roundtrip():
         assert parse_query(to_query_string(ast)) == ast
 
     check()
+
+
+def test_topk_sort_by_field(setup):
+    """sort_by replaces relevance with a numeric doc column: the rows
+    equal the brute-force survivors ordered by (field desc, doc_id),
+    score carries the field value; string columns and unknown columns
+    raise."""
+    rows, idx, pq, rq = setup
+    q = "fast AND NOT slow"
+    k = 8
+    got = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in topk(idx, q, k, phrase_query=pq, sort_by=("n_chars", False)).collect()
+    ]
+    nchars = {d: n for d, _, _, n in rows}
+    surv = sorted(_brute_matches(rows, q))
+    want = sorted(surv, key=lambda d: (-nchars[d], d))[:k]
+    assert got == [(i + 1, d, float(nchars[d])) for i, d in enumerate(want)]
+    # ascending flips the order
+    got_asc = [r["doc_id"] for r in topk(idx, q, k, sort_by=("n_chars", True)).collect()]
+    want_asc = sorted(surv, key=lambda d: (nchars[d], d))[:k]
+    assert got_asc == want_asc
+    with pytest.raises(ValueError, match="unknown sort column"):
+        topk(idx, q, k, sort_by=("nope", False)).collect()
+    with pytest.raises(ValueError, match="numeric"):
+        topk(idx, q, k, sort_by=("lang", False)).collect()
