@@ -267,6 +267,7 @@ def _bool_set_sql(node, style: str) -> str:
     evaluator of the engine's matched-leaf-bitmask plan."""
     from local_search_engine_spark.operators.boolquery import (
         And,
+        AtLeast,
         Bool,
         Boost,
         Field,
@@ -295,6 +296,18 @@ def _bool_set_sql(node, style: str) -> str:
         return (
             "SELECT doc_id FROM documents EXCEPT "
             f"({_bool_set_sql(node.child, style)})"
+        )
+    if isinstance(node, AtLeast):
+        # minimum-should-match, independently evaluated as a clause
+        # COUNT: each child set is DISTINCT doc_ids, so UNION ALL +
+        # HAVING count ≥ n counts matching clauses per doc
+        union = " UNION ALL ".join(
+            f"SELECT doc_id FROM ({_bool_set_sql(c, style)})"
+            for c in node.children
+        )
+        return (
+            f"SELECT doc_id FROM ({union}) "
+            f"GROUP BY doc_id HAVING count(*) >= {node.n}"
         )
     op = " INTERSECT " if isinstance(node, And) else " UNION "
     return op.join(f"({_bool_set_sql(c, style)})" for c in node.children)
@@ -848,6 +861,14 @@ BOOL_SPECS = [
     # position. Also runs through the percolator (mode='boolperc').
     (17, '"fast sc*" AND NOT merge'),
     (18, '"merge gro*" OR "spark window"'),
+    # minimum-should-match groups (r05d, Lucene `(a b c)~N`): engine =
+    # codegen'd count-of-matched-clauses ≥ n over the leaf bitmask;
+    # oracle = UNION ALL + HAVING count ≥ n — independent counters.
+    # (this language's implicit operator is AND, so msm groups list
+    # their clauses with explicit OR). pid 19 mixes leaf kinds inside
+    # the group; pid 20 nests msm under NOT (docs matching ≤1 clause)
+    (19, '(fast OR scan OR "spark window")~2 AND NOT merge'),
+    (20, "table AND NOT (fast OR scan OR agg)~2"),
 ]
 # ranked boolean rows ride bm25_batch (query_id 100+): boolean filter
 # + BM25 over the positive-leaf token multiset, shared rounded-rank

@@ -222,6 +222,25 @@ class Or:
 
 
 @dataclass(frozen=True)
+class AtLeast:
+    """Minimum-should-match group — `(a b c)~2` (the classic Lucene
+    query parser's `~N` suffix on a parenthesized group, Elasticsearch
+    `minimum_should_match`). Matches docs satisfying at least n of the
+    children. The group's top-level OR disjuncts are the countable
+    clauses (`(a OR b OR c)~2` counts a, b, c separately; a group that
+    is not an OR is a single clause). Folds: n≤0 → match-all,
+    n=1 → Or, n=len(children) → And, n>len(children) → match-none —
+    so a surviving AtLeast always has 1 < n < len(children). Rank-time
+    the children contribute to the positive multiset exactly as Or
+    children do; matching-wise it compiles to a codegen'd
+    count-of-matched-clauses ≥ n over the per-doc leaf bitmask (never
+    a combinatorial OR-of-ANDs expansion)."""
+
+    children: tuple
+    n: int
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -397,6 +416,13 @@ def parse_query(text: str):
             if peek() != ")":
                 raise BoolQuerySyntaxError("unbalanced '('")
             i += 1
+            # `(a b c)~2` — minimum-should-match on the group (classic
+            # Lucene parser). The `~N` may carry a boost (`(a b)~2^3`):
+            # the lexer already split that into word `~2` + boost 3,
+            # so not_expr applies the boost after this returns.
+            if peek() == "word" and re.fullmatch(r"~\d+", toks[i][1]):
+                node = _mk_atleast(node, int(toks[i][1][1:]))
+                i += 1
             return node
         if t == "regex":
             pat = toks[i][1]
@@ -514,6 +540,25 @@ def _mk_not(child):
     return Not(child)
 
 
+def _mk_atleast(node, n: int):
+    """Fold a `(group)~n` into normal form (see AtLeast docstring).
+    The countable clauses are the group's top-level OR disjuncts; a
+    pruned (Bool) group counts as one always/never-matching clause."""
+    if isinstance(node, Bool):
+        # `("" the)~1`: one clause that always (or never) matches
+        return Bool(n <= (1 if node.value else 0))
+    children = node.children if isinstance(node, Or) else (node,)
+    if n <= 0:
+        return Bool(True)  # Lucene msm=0: all clauses optional
+    if n > len(children):
+        return Bool(False)
+    if n == len(children):
+        return _mk_and(list(children))
+    if n == 1:
+        return node  # already the Or (or the single clause)
+    return AtLeast(children, n)
+
+
 def _mk_boost(child, factor: float):
     """^1 is the identity; nested boosts multiply; a boosted constant
     stays constant (boost never affects matching)."""
@@ -570,6 +615,9 @@ def to_query_string(node) -> str:
             return " AND ".join(wrap(c) for c in n.children)
         if isinstance(n, Or):
             return " OR ".join(wrap(c) for c in n.children)
+        if isinstance(n, AtLeast):
+            inner = " OR ".join(wrap(c) for c in n.children)
+            return f"({inner})~{n.n}"
         raise TypeError(f"unknown node {n!r}")
 
     return go(node)
@@ -595,7 +643,7 @@ def collect_leaves(node) -> list:
             walk(n.child)
         elif isinstance(n, Boost):
             walk(n.child)
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c)
 
@@ -625,7 +673,7 @@ def positive_token_counts(node) -> Counter:
             walk(n.child, not neg, w)
         elif isinstance(n, Boost):
             walk(n.child, neg, w * n.factor)
-        elif isinstance(n, (And, Or)):
+        elif isinstance(n, (And, Or, AtLeast)):
             for c in n.children:
                 walk(c, neg, w)
 
@@ -653,6 +701,8 @@ def satisfiable_all_false(node) -> bool:
         return all(satisfiable_all_false(c) for c in node.children)
     if isinstance(node, Or):
         return any(satisfiable_all_false(c) for c in node.children)
+    if isinstance(node, AtLeast):
+        return sum(satisfiable_all_false(c) for c in node.children) >= node.n
     raise TypeError(f"unknown node {node!r}")
 
 
@@ -914,6 +964,13 @@ def _expr_col(node, hits_col):
             for c in n.children[1:]:
                 out = out | walk(c)
             return out
+        if isinstance(n, AtLeast):
+            # count of matched clauses ≥ n — one codegen'd integer sum,
+            # never an OR-of-ANDs expansion (C(len, n) clauses)
+            cnt = walk(n.children[0]).cast("int")
+            for c in n.children[1:]:
+                cnt = cnt + walk(c).cast("int")
+            return cnt >= n.n
         raise TypeError(f"unknown node {n!r}")
 
     return walk(node)

@@ -394,6 +394,12 @@ def _bool_batches_fn(
                     for c in node.children[1:]:
                         m = m | ev(c)
                     return m
+                if isinstance(node, bq.AtLeast):
+                    # minimum-should-match: count of matched clauses ≥ n
+                    cnt = ev(node.children[0]).astype(np.int32)
+                    for c in node.children[1:]:
+                        cnt = cnt + ev(c)
+                    return cnt >= node.n
                 return mask_of[node]
 
             ids_np = pdf[id_col].to_numpy()

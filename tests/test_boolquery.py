@@ -12,6 +12,7 @@ import pytest
 from local_search_engine_spark.functions.tokenize import tokenize_py
 from local_search_engine_spark.operators.boolquery import (
     And,
+    AtLeast,
     Bool,
     BoolQuerySyntaxError,
     Boost,
@@ -104,6 +105,13 @@ QUERIES = [
     "/fa.t (slow|table)/ AND NOT agg",
     "NOT /x1/",  # non-restrictive regex negation
     "/zzqq[0-9]+/ OR io",  # no content matches -> identity
+    # minimum-should-match groups (r05d): (a OR b OR c)~n
+    "(table OR fast OR io)~2",
+    "(table OR fast OR scan OR agg)~3 AND NOT slow",
+    '(io OR "table scan" OR ta*)~2',  # mixed leaf kinds count as clauses
+    "NOT (table OR fast OR io)~2",  # ≤1 of the clauses
+    "(table OR NOT fast OR io)~2",  # negated clause counts when absent
+    "(zzzz OR qqqq OR table)~2",  # two dead clauses -> empty
 ]
 
 LANGS = ["en", "de", "fr"]
@@ -230,6 +238,27 @@ def test_parse_shapes():
             parse_query(bad)
     # regex leaves: /.../ verbatim body (no analysis), escapes allowed,
     # invalid patterns raise at parse time
+    # minimum-should-match groups (r05d): `(a OR b OR c)~n` counts the
+    # group's top-level OR disjuncts; folds at the boundaries
+    assert parse_query("(table OR fast OR io)~2") == AtLeast(
+        (Term("table"), Term("fast"), Term("io")), 2
+    )
+    assert parse_query("(table OR fast)~1") == Or((Term("table"), Term("fast")))
+    assert parse_query("(table OR fast)~2") == And((Term("table"), Term("fast")))
+    assert parse_query("(table OR fast)~0") == Bool(True)
+    assert parse_query("(table OR fast)~3") == Bool(False)
+    assert parse_query("(table OR fast)~3 OR io") == Term("io")  # never-match clause folds
+    assert parse_query("(table fast)~1") == And((Term("table"), Term("fast")))
+    assert parse_query("(table fast)~2") == Bool(False)  # one AND clause, n=2
+    assert parse_query('(a OR the)~1') == Bool(True)  # pruned group, 1 true clause
+    assert parse_query('(fast OR "table scan" OR NOT io)~2') == AtLeast(
+        (Term("fast"), Phrase(("table", "scan")), Not(Term("io"))), 2
+    )
+    # a boost after the ~n binds to the whole msm group
+    assert parse_query("(table OR fast OR io)~2^3") == Boost(
+        AtLeast((Term("table"), Term("fast"), Term("io")), 2), 3.0
+    )
+    # regex leaves: /.../ verbatim body (no analysis), escapes allowed,
     assert parse_query("/table scan/") == Regex("table scan")
     assert parse_query(r"/fa.t (slow|x)/ AND io") == And(
         (Regex(r"fa.t (slow|x)"), Term("io"))
@@ -301,6 +330,24 @@ def test_static_analysis():
     assert collect_leaves(n5) == [Near(("table", "scan"), 2), Term("fast")]
     assert positive_token_counts(n5) == {"table": 1, "scan": 1, "fast": 1}
     assert satisfiable_all_false(parse_query('NOT "table scan"~2'))
+    # msm groups (r05d): children rank like Or children; a NOT-wrapped
+    # msm is non-restrictive only when enough clauses are all-false
+    n6 = parse_query("(table OR fast OR io)~2 AND scan")
+    assert collect_leaves(n6) == [
+        Term("table"), Term("fast"), Term("io"), Term("scan"),
+    ]
+    assert positive_token_counts(n6) == {
+        "table": 1, "fast": 1, "io": 1, "scan": 1,
+    }
+    assert not satisfiable_all_false(n6)
+    assert satisfiable_all_false(parse_query("NOT (table OR fast OR io)~2"))
+    # two of the three clauses are all-false-satisfiable -> the group is
+    assert satisfiable_all_false(
+        parse_query("(NOT table OR NOT fast OR io)~2")
+    )
+    assert not satisfiable_all_false(
+        parse_query("(NOT table OR fast OR io)~2")
+    )
 
 
 def test_sloppy_contains_exact(setup):
@@ -398,6 +445,8 @@ def _eval(node, toks: list[str], meta: dict) -> bool:
         return all(_eval(c, toks, meta) for c in node.children)
     if isinstance(node, Or):
         return any(_eval(c, toks, meta) for c in node.children)
+    if isinstance(node, AtLeast):
+        return sum(_eval(c, toks, meta) for c in node.children) >= node.n
     raise TypeError(node)
 
 
@@ -471,6 +520,10 @@ def _brute_topk(rows, idx, query: str, k: int):
         '"fast slow"~1^2 OR io',  # sloppy + boost
         "/table scan/ AND fast",  # regex constant-score: ranks like 'fast'
         "/fa.t (slow|table)/",  # pure regex: all scores 0.0, doc_id order
+        # msm groups (r05d): clauses rank like Or children
+        "(table OR fast OR io)~2",
+        '(fast OR "table scan" OR agg)~2 AND NOT slow',
+        "(ta* OR io OR fast)~2",  # constant-score clause inside the group
     ],
 )
 def test_topk_equals_filtered_bm25(setup, query):
@@ -642,7 +695,17 @@ def _ast_strategy():
         flat_or = st.lists(children, min_size=2, max_size=3).filter(
             lambda cs: not any(isinstance(c, Or) for c in cs)
         ).map(lambda cs: Or(tuple(cs)))
-        return st.one_of(boostable(flat_and), boostable(flat_or))
+        # AtLeast normal form: children OR-flattened, 1 < n < len
+        at_least = st.lists(children, min_size=3, max_size=4).filter(
+            lambda cs: not any(isinstance(c, Or) for c in cs)
+        ).flatmap(
+            lambda cs: st.integers(2, len(cs) - 1).map(
+                lambda n: AtLeast(tuple(cs), n)
+            )
+        )
+        return st.one_of(
+            boostable(flat_and), boostable(flat_or), boostable(at_least)
+        )
 
     return st.recursive(boostable(leaf), extend, max_leaves=8)
 
