@@ -2048,16 +2048,81 @@ def q_score_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AGG_QUERY = "(fast OR scan OR table)~2 AND NOT merge"
+AGG_FACET_N = 3
+AGG_HIST_WIDTH = 100
+
+
 def q_results_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 results-by-source rollup + the r05d aggregation family
+    (operators/aggs.py — Elasticsearch aggs over a boolean match set),
+    consolidated as mode rows on one unified schema:
+
+      * mode='by_source'  — the original A9 rollup of the Q_MULTI top-50
+        (k1=lang, k2=source, v1=best_score, extra=doc_ids_by_rank)
+      * mode='facet_lang' — facet_topn over AGG_QUERY (terms agg; k1 =
+        value, v1 = 1-based facet POSITION so the deterministic
+        (count DESC, value ASC) order is hash-checked, not just the cut)
+      * mode='stats_source' — group_stats of n_chars by source
+        (v1..v4 = min/max/round(avg,6)/sum)
+      * mode='hist_nchars' — numeric_histogram of n_chars at width 100
+        (v1 = bin_start)
+
+    AGG_QUERY is an msm group with a negation, so the aggregation path
+    composes with the newest boolean machinery end-to-end."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.aggs import (
+        facet_topn,
+        group_stats,
+        numeric_histogram,
+    )
 
     idx = _index(spark, sf_dir)
     top = _ranked_topk(score_all(idx, Q_MULTI), 50)
     out = FU.results_by_source(top, _docs(spark, sf_dir), group_cols=("lang", "source"))
-    return out.select(
-        "lang", "source", "n_hits", F.round("best_score", 6).alias("best_score"),
-        "doc_ids_by_rank",
+    nul = F.lit(None).cast("double")
+    by_source = out.select(
+        F.lit("by_source").alias("mode"),
+        F.col("lang").alias("k1"),
+        F.col("source").alias("k2"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round("best_score", 6).alias("v1"),
+        nul.alias("v2"), nul.alias("v3"), nul.alias("v4"),
+        F.col("doc_ids_by_rank").alias("extra"),
     )
+    fw = Window.orderBy(F.desc("n_docs"), F.asc("value"))
+    facet = facet_topn(idx, AGG_QUERY, "lang", AGG_FACET_N).select(
+        F.lit("facet_lang").alias("mode"),
+        F.col("value").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_docs").alias("n_hits"),
+        F.row_number().over(fw).cast("double").alias("v1"),
+        nul.alias("v2"), nul.alias("v3"), nul.alias("v4"),
+        F.lit(None).cast("string").alias("extra"),
+    )
+    stats = group_stats(idx, AGG_QUERY, "source", "n_chars").select(
+        F.lit("stats_source").alias("mode"),
+        F.col("group").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_docs").alias("n_hits"),
+        F.col("min").alias("v1"),
+        F.col("max").alias("v2"),
+        F.round("avg", 6).alias("v3"),
+        F.col("sum").alias("v4"),
+        F.lit(None).cast("string").alias("extra"),
+    )
+    hist = numeric_histogram(idx, AGG_QUERY, "n_chars", AGG_HIST_WIDTH).select(
+        F.lit("hist_nchars").alias("mode"),
+        F.lit(None).cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_docs").alias("n_hits"),
+        F.col("bin_start").alias("v1"),
+        nul.alias("v2"), nul.alias("v3"), nul.alias("v4"),
+        F.lit(None).cast("string").alias("extra"),
+    )
+    return by_source.unionByName(facet).unionByName(stats).unionByName(hist)
 
 
 def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3468,11 +3533,33 @@ WHERE length(text) > 0
 """,
         "score_combine": score_combine_sql,
         "results_by_source": f"""
-SELECT d.lang, d.source, count(*)::bigint AS n_hits,
-       round(max(t.score), 6) AS best_score,
-       string_agg(t.doc_id::varchar, ',' ORDER BY t.rank) AS doc_ids_by_rank
+WITH {_BM25_CTES},
+surv AS ({_bool_set_sql(_bqp(AGG_QUERY), "tf")}),
+sd AS (SELECT d.lang, d.source, d.n_chars FROM documents d JOIN surv USING (doc_id)),
+facet AS (SELECT coalesce(lang, '(missing)') AS k1, count(*)::bigint AS n
+          FROM sd GROUP BY 1),
+facet_pos AS (SELECT k1, n,
+                     row_number() OVER (ORDER BY n DESC, k1)::double AS pos
+              FROM facet)
+SELECT 'by_source' AS mode, d.lang AS k1, d.source AS k2,
+       count(*)::bigint AS n_hits, round(max(t.score), 6) AS v1,
+       NULL::double AS v2, NULL::double AS v3, NULL::double AS v4,
+       string_agg(t.doc_id::varchar, ',' ORDER BY t.rank) AS extra
 FROM ({_bm25_sql(Q_MULTI, 50)}) t JOIN documents d USING (doc_id)
-GROUP BY 1, 2
+GROUP BY 2, 3
+UNION ALL
+SELECT 'facet_lang', k1, NULL, n, pos, NULL, NULL, NULL, NULL
+FROM facet_pos WHERE pos <= {AGG_FACET_N}
+UNION ALL
+SELECT 'stats_source', coalesce(source, '(missing)'), NULL,
+       count(*)::bigint, min(n_chars)::double, max(n_chars)::double,
+       round(avg(n_chars), 6), sum(n_chars)::double, NULL
+FROM sd GROUP BY 2
+UNION ALL
+SELECT 'hist_nchars', NULL, NULL, count(*)::bigint,
+       (floor(n_chars / {AGG_HIST_WIDTH}) * {AGG_HIST_WIDTH})::double,
+       NULL, NULL, NULL, NULL
+FROM sd WHERE n_chars IS NOT NULL GROUP BY 5
 """,
         "spell_correct": f"""
 WITH {_BM25_CTES},

@@ -108,6 +108,11 @@ def main() -> None:
 
     BQ.matches(wi, "warm AND NOT table", phrase_query=_wq).count()
     BQ.topk(wi, '"warm table" OR warm', 3, phrase_query=_wq).collect()
+    from local_search_engine_spark.operators import aggs as _AGG
+
+    _AGG.facet_topn(wi, "(warm OR table OR query)~2", "lang", 3).collect()
+    _AGG.group_stats(wi, "warm", "source", "n_chars").collect()
+    _AGG.numeric_histogram(wi, "warm", "n_chars", 100).collect()
     from local_search_engine_spark.streaming.percolate import percolate as _perc
 
     _perc(mini, [(0, "warm table")], "text", "doc_id").count()
@@ -237,6 +242,20 @@ def main() -> None:
         "bool_filter",
         lambda: BQ.matches(idx, "(table OR row) AND NOT (scan OR agg)").count(),
     )
+    # aggregations over the match set (operators/aggs.py, r05d): terms
+    # facet + per-group stats + numeric histogram, driven by an msm
+    # group query — survivor set ⋈ pruned docs metadata, one combine-
+    # reduced shuffle each; facet is TakeOrderedAndProject
+    from local_search_engine_spark.operators import aggs as AGG
+
+    def _aggs():
+        q = "(table OR fast OR scan)~2 AND NOT merge"
+        a = AGG.facet_topn(idx, q, "lang", 10).collect()
+        b = AGG.group_stats(idx, q, "source", "n_chars").collect()
+        c = AGG.numeric_histogram(idx, q, "n_chars", 100).collect()
+        return len(a) + len(b) + len(c)
+
+    bench("bool_aggs", _aggs)
     bench(
         "bool_rank_topk",
         lambda: BQ.topk(

@@ -484,24 +484,35 @@ def cmd_bool(spark, corpus, args) -> dict:
     }
     facet = getattr(args, "facet", None)
     if facet:
-        # facet counts run over the FULL boolean match set (matches(),
-        # uncapped — facets describe the result space, not the top-k
-        # page): one groupBy on the requested metadata column
-        if facet not in idx.docs.columns:
-            raise ValueError(
-                f"unknown facet column '{facet}' — index.docs has: "
-                f"{sorted(idx.docs.columns)}"
-            )
-        allm = bq.matches(idx, node, phrase_query=pq, regex_query=rq)
-        fc = (
-            idx.docs.select("doc_id", facet)
-            .join(allm.select("doc_id"), "doc_id")
-            .groupBy(facet)
-            .count()
-            .orderBy(F.desc("count"), F.asc(facet))
-            .collect()
-        )
-        out["facets"] = {str(r[facet]): int(r["count"]) for r in fc}
+        # facet counts run over the FULL boolean match set (uncapped —
+        # facets describe the result space, not the top-k page)
+        from local_search_engine_spark.operators.aggs import facet_topn
+
+        fc = facet_topn(
+            idx, node, facet, n=1 << 30, phrase_query=pq, regex_query=rq
+        ).collect()
+        out["facets"] = {r["value"]: int(r["n_docs"]) for r in fc}
+    stats = getattr(args, "stats", None)
+    if stats:
+        # --stats GROUP_COL:STAT_COL — per-group numeric rollup of the
+        # full match set (Elasticsearch stats sub-aggregation)
+        from local_search_engine_spark.operators.aggs import group_stats
+
+        group_col, _, stat_col = stats.partition(":")
+        if not stat_col:
+            raise ValueError("--stats expects GROUP_COL:STAT_COL")
+        st = group_stats(
+            idx, node, group_col, stat_col, phrase_query=pq, regex_query=rq
+        ).collect()
+        out["stats"] = {
+            r["group"]: {
+                "n": int(r["n_docs"]),
+                "min": r["min"], "max": r["max"],
+                "avg": None if r["avg"] is None else round(float(r["avg"]), 6),
+                "sum": r["sum"],
+            }
+            for r in st
+        }
     return out
 
 
@@ -533,6 +544,10 @@ def main() -> None:
     ap.add_argument("--sort", default=None,
                     help="bool: order results by a numeric doc column "
                          "instead of relevance (e.g. --sort doc_len:desc)")
+    ap.add_argument("--stats", default=None,
+                    help="bool: per-group numeric rollup of the FULL "
+                         "match set, GROUP_COL:STAT_COL "
+                         "(e.g. --stats lang:doc_len)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 

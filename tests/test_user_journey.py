@@ -358,9 +358,31 @@ def test_cli_bool_subcommand(spark, tmp_path):
         if "merge" in toks and "shard" in toks:
             want_counts[lang] = want_counts.get(lang, 0) + 1
     assert out4["facets"] == want_counts and sum(want_counts.values()) > 5
+
+    # --stats (r05d): per-group numeric rollup of the full match set,
+    # ground-truthed from the raw corpus (doc_len = token count)
+    out5 = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(
+            query="merge AND shard", index=root, k=5, stats="lang:doc_len"
+        ),
+    )
+    want_stats: dict = {}
+    for f, (c, lang) in by_file.items():
+        toks = tokenize_py(c)
+        if "merge" in toks and "shard" in toks:
+            want_stats.setdefault(lang, []).append(len(toks))
+    for lang, lens in want_stats.items():
+        got = out5["stats"][lang]
+        assert got["n"] == len(lens)
+        assert got["min"] == min(lens) and got["max"] == max(lens)
+        assert got["sum"] == sum(lens)
+        assert abs(got["avg"] - sum(lens) / len(lens)) < 1e-6
+    assert set(out5["stats"]) == set(want_stats)
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="unknown facet"):
+    with _pytest.raises(ValueError, match="unknown column"):
         cmd_bool(
             spark,
             corpus,
