@@ -943,6 +943,19 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(107).alias("query_id"), "rank", "doc_id", "score"
         )
     )
+    # query_id 108 (r05d): SEARCH_AFTER keyset pagination — page 2 of
+    # PAGE_QUERY at k=PAGE_K, after the driver-collected boundary of
+    # page 1 (the production pagination protocol: the client passes
+    # back the last row's sort key). The oracle computes the SAME rows
+    # as the global-rank window k+1..2k — keyset filter ≡ offset-free
+    # deep paging, verified by two structurally different evaluators.
+    p1 = bq.topk(idx, PAGE_QUERY, PAGE_K).orderBy("rank").collect()
+    after = (p1[-1]["score"], p1[-1]["doc_id"])
+    out = out.unionByName(
+        bq.topk(idx, PAGE_QUERY, PAGE_K, search_after=after).select(
+            F.lit(108).alias("query_id"), "rank", "doc_id", "score"
+        )
+    )
     return out
 
 
@@ -2051,6 +2064,10 @@ def q_score_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_QUERY = "(fast OR scan OR table)~2 AND NOT merge"
 AGG_FACET_N = 3
 AGG_HIST_WIDTH = 100
+# search_after pagination gate (query_id 108 in bm25_batch): a query
+# whose match set is well over 2·PAGE_K so page 2 is full
+PAGE_QUERY = "table OR fast"
+PAGE_K = 10
 
 
 def q_results_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2901,6 +2918,14 @@ SELECT 107 AS query_id, rank, doc_id, score FROM (
   SELECT row_number() OVER (ORDER BY d.n_chars DESC, b.doc_id)::int AS rank,
          b.doc_id, d.n_chars::double AS score
   FROM ({_sort_set}) b JOIN documents d USING (doc_id)) WHERE rank <= 10""")
+    # query_id 108: search_after page-2 twin — the engine paginates by
+    # keyset (filter on the page-1 boundary tuple); the oracle takes
+    # global ranks PAGE_K+1..2·PAGE_K of the full ordering and
+    # renumbers. Equality proves keyset paging loses/dups nothing.
+    batch_sqls.append(f"""
+SELECT 108 AS query_id, (rank - {PAGE_K})::int AS rank, doc_id, score
+FROM ({_bool_bm25_sql(PAGE_QUERY, 2 * PAGE_K)})
+WHERE rank > {PAGE_K}""")
     sc_vals = ", ".join(
         f"('{t}', {c})" for t, c in sorted(Counter(tokenize_py(RRF_QUERY)).items())
     )

@@ -1003,7 +1003,8 @@ def matches(index, query: str, phrase_query=None, regex_query=None):
     )
 
 
-def topk(index, query: str, k: int, phrase_query=None, regex_query=None, sort_by=None):
+def topk(index, query: str, k: int, phrase_query=None, regex_query=None,
+         sort_by=None, search_after=None):
     """Boolean filter + BM25 rank: top-k of the boolean survivors scored
     by score_terms over the positive-leaf token multiset (module doc).
     DataFrame(rank int, doc_id long, score double) — score rounded to
@@ -1013,7 +1014,18 @@ def topk(index, query: str, k: int, phrase_query=None, regex_query=None, sort_by
     index.docs metadata column (Elasticsearch's sort clause): survivors
     order by the field (doc_id tiebreak) and `score` carries the field
     value cast to double. Still limit-before-rank — the field join is
-    two columns, the heap is k."""
+    two columns, the heap is k.
+
+    search_after=(score, doc_id) — keyset pagination (Elasticsearch
+    `search_after`): return the k rows strictly AFTER that sort key in
+    the total order (score, then doc_id tiebreak; in sort_by mode the
+    first element is the FIELD value). The predicate is applied BEFORE
+    the k-heap, so page N costs the same one TakeOrderedAndProject as
+    page 1 — never an OFFSET (a global sort of N·k rows) and never a
+    growing skip-list on the driver. The doc_id tiebreak makes the
+    order total, so pages never overlap or drop ties. `rank` restarts
+    at 1 per page (the page concatenation is the global ranking).
+    Scores compare post-rounding (6dp), matching what page 1 returned."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -1038,6 +1050,13 @@ def topk(index, query: str, k: int, phrase_query=None, regex_query=None, sort_by
             F.asc(col) if asc else F.desc(col),
             F.asc("doc_id"),
         ]
+        if search_after is not None:
+            av, ad = search_after
+            fc = F.col(col)
+            beyond = (fc > av) if asc else (fc < av)
+            scored = scored.filter(
+                beyond | ((fc == av) & (F.col("doc_id") > ad))
+            )
         top = scored.orderBy(*order).limit(k)
         w = Window.orderBy(*order)
         return top.withColumn("rank", F.row_number().over(w)).select(
@@ -1055,7 +1074,14 @@ def topk(index, query: str, k: int, phrase_query=None, regex_query=None, sort_by
     # TakeOrderedAndProject (a distributed k-heap); the rank window then
     # sees ≤ k rows, never the full survivor domain
     order = [F.desc("score"), F.asc("doc_id")]
-    top = scored.withColumn("score", F.round("score", 6)).orderBy(*order).limit(k)
+    scored = scored.withColumn("score", F.round("score", 6))
+    if search_after is not None:
+        av, ad = search_after
+        scored = scored.filter(
+            (F.col("score") < av)
+            | ((F.col("score") == av) & (F.col("doc_id") > ad))
+        )
+    top = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "score"

@@ -442,6 +442,18 @@ def cmd_bool(spark, corpus, args) -> dict:
         if d not in ("", "asc", "desc"):
             raise ValueError(f"--sort direction must be asc|desc: {raw_sort!r}")
         sort_by = (col, d != "desc")
+    search_after = None
+    raw_after = getattr(args, "after", None)
+    if raw_after:
+        # --after SCORE:DOC_ID — keyset pagination: pass back the last
+        # row of the previous page (printed as `next_after`)
+        s, _, d = raw_after.rpartition(":")
+        try:
+            search_after = (float(s), int(d))
+        except ValueError as e:
+            raise ValueError(
+                f"--after expects SCORE:DOC_ID (from next_after): {raw_after!r}"
+            ) from e
     leaves = bq.collect_leaves(node)
     has_phrase = any(isinstance(l, (bq.Phrase, bq.Near)) for l in leaves)
     has_regex = any(isinstance(l, bq.Regex) for l in leaves)
@@ -457,7 +469,10 @@ def cmd_bool(spark, corpus, args) -> dict:
 
         content = _docs_with_ids(corpus, idx).select("doc_id", "content")
         rq = bq.make_regex_matcher(content, trigram=doc_trigrams(content))
-    res = bq.topk(idx, node, args.k, phrase_query=pq, regex_query=rq, sort_by=sort_by)
+    res = bq.topk(
+        idx, node, args.k, phrase_query=pq, regex_query=rq,
+        sort_by=sort_by, search_after=search_after,
+    )
     # ≤k result rows broadcast against the doc table — it never shuffles
     rows = (
         idx.docs.select(
@@ -482,6 +497,10 @@ def cmd_bool(spark, corpus, args) -> dict:
             for r in rows
         ],
     }
+    if len(rows) == args.k and rows:
+        # keyset-pagination cursor: feed back as --after for page N+1
+        last = rows[-1]
+        out["next_after"] = f'{round(float(last["score"]), 6)}:{int(last["doc_id"])}'
     facet = getattr(args, "facet", None)
     if facet:
         # facet counts run over the FULL boolean match set (uncapped —
@@ -548,6 +567,10 @@ def main() -> None:
                     help="bool: per-group numeric rollup of the FULL "
                          "match set, GROUP_COL:STAT_COL "
                          "(e.g. --stats lang:doc_len)")
+    ap.add_argument("--after", default=None,
+                    help="bool: keyset pagination cursor SCORE:DOC_ID — "
+                         "pass the previous page's next_after to get "
+                         "the next k results (offset-free deep paging)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 

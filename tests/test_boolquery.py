@@ -748,3 +748,57 @@ def test_topk_sort_by_field(setup):
         topk(idx, q, k, sort_by=("nope", False)).collect()
     with pytest.raises(ValueError, match="numeric"):
         topk(idx, q, k, sort_by=("lang", False)).collect()
+
+
+def _walk_pages(idx, q, k, total, **kw):
+    """Paginate with search_after until exhaustion; return the
+    concatenated (doc_id, score) sequence."""
+    out, after = [], None
+    while True:
+        page = topk(idx, q, k, search_after=after, **kw).collect()
+        assert [r["rank"] for r in page] == list(range(1, len(page) + 1))
+        out.extend((r["doc_id"], r["score"]) for r in page)
+        if len(page) < k:
+            return out
+        after = (page[-1]["score"], page[-1]["doc_id"])
+        assert len(out) <= total + k, "pagination did not terminate"
+
+
+def test_search_after_pagination(setup):
+    """Keyset pagination: the page concatenation equals the full
+    ordering, pages never overlap or drop rows — including across TIE
+    groups (equal scores split mid-page), the case OFFSET-free paging
+    classically gets wrong."""
+    rows, idx, pq, rq = setup
+    q = "table OR fast"
+    full = [
+        (r["doc_id"], r["score"])
+        for r in topk(idx, q, 10_000).collect()
+    ]
+    assert len(full) > 20
+    for k in (7, 3):  # k=3 forces splits inside equal-score runs
+        assert _walk_pages(idx, q, k, len(full)) == full
+    # all-constant-score query: every score 0.0 — one giant tie group,
+    # pagination must walk purely on the doc_id tiebreak
+    qz = "ta* OR s*"
+    fullz = [(r["doc_id"], r["score"]) for r in topk(idx, qz, 10_000).collect()]
+    assert fullz and all(s == 0.0 for _, s in fullz)
+    assert _walk_pages(idx, qz, 5, len(fullz)) == fullz
+    # a search_after beyond the last row returns an empty page
+    last = (fullz[-1][1], fullz[-1][0])
+    assert topk(idx, qz, 5, search_after=last).count() == 0
+
+
+def test_search_after_sort_by_field(setup):
+    """Pagination composes with the sort-by-field mode (after-tuple =
+    (field value, doc_id)), both directions."""
+    rows, idx, pq, rq = setup
+    for asc in (False, True):
+        full = [
+            (r["doc_id"], r["score"])
+            for r in topk(idx, "fast", 10_000, sort_by=("n_chars", asc)).collect()
+        ]
+        assert len(full) > 10
+        assert _walk_pages(
+            idx, "fast", 4, len(full), sort_by=("n_chars", asc)
+        ) == full

@@ -359,6 +359,25 @@ def test_cli_bool_subcommand(spark, tmp_path):
             want_counts[lang] = want_counts.get(lang, 0) + 1
     assert out4["facets"] == want_counts and sum(want_counts.values()) > 5
 
+    # --after (r05d): keyset pagination — two k=5 pages stitched with
+    # the next_after cursor equal the single k=10 page
+    page10 = cmd_bool(
+        spark, corpus, argparse.Namespace(query="merge AND shard", index=root, k=10)
+    )["results"]
+    p1 = cmd_bool(
+        spark, corpus, argparse.Namespace(query="merge AND shard", index=root, k=5)
+    )
+    assert ":" in p1["next_after"]
+    p2 = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(
+            query="merge AND shard", index=root, k=5, after=p1["next_after"]
+        ),
+    )
+    stitched = [r["file"] for r in p1["results"]] + [r["file"] for r in p2["results"]]
+    assert stitched == [r["file"] for r in page10]
+
     # --stats (r05d): per-group numeric rollup of the full match set,
     # ground-truthed from the raw corpus (doc_len = token count)
     out5 = cmd_bool(
