@@ -956,6 +956,17 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(108).alias("query_id"), "rank", "doc_id", "score"
         )
     )
+    # query_id 109 (r05d): MORE-LIKE-THIS — doc MLT_DOC's top-MLT_TERMS
+    # tf·idf terms rewritten to a BM25 OR query, source doc excluded
+    # (operators/morelike.py; Lucene MLT). The oracle re-derives the
+    # term selection and the ranking in SQL from the same parquet.
+    from local_search_engine_spark.operators.morelike import more_like_this
+
+    out = out.unionByName(
+        more_like_this(idx, MLT_DOC, MLT_K, max_query_terms=MLT_TERMS).select(
+            F.lit(109).alias("query_id"), "rank", "doc_id", "score"
+        )
+    )
     return out
 
 
@@ -2068,6 +2079,11 @@ AGG_HIST_WIDTH = 100
 # whose match set is well over 2·PAGE_K so page 2 is full
 PAGE_QUERY = "table OR fast"
 PAGE_K = 10
+# more-like-this gate (query_id 109 in bm25_batch): find-similar for
+# doc 7 with a tight term budget so the tf·idf selection cut matters
+MLT_DOC = 7
+MLT_TERMS = 8
+MLT_K = 10
 
 
 def q_results_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2926,6 +2942,25 @@ SELECT 107 AS query_id, rank, doc_id, score FROM (
 SELECT 108 AS query_id, (rank - {PAGE_K})::int AS rank, doc_id, score
 FROM ({_bool_bm25_sql(PAGE_QUERY, 2 * PAGE_K)})
 WHERE rank > {PAGE_K}""")
+    # query_id 109: more-like-this twin — term selection (tf·idf top-M,
+    # term tiebreak) and BM25 ranking both re-derived in SQL
+    batch_sqls.append(f"""
+SELECT 109 AS query_id, rank, doc_id, score FROM (
+  WITH {_BM25_CTES},
+  src AS (SELECT term, tf FROM tf WHERE doc_id = {MLT_DOC}),
+  sel AS (SELECT s.term FROM src s JOIN idf USING (term)
+          ORDER BY s.tf * idf.idf DESC, s.term LIMIT {MLT_TERMS}),
+  contrib AS (
+    SELECT tf.doc_id,
+           idf.idf * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len
+                                      / (SELECT avgdl FROM stats))) AS c
+    FROM tf JOIN sel USING (term) JOIN idf USING (term) JOIN dl USING (doc_id)),
+  scored AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+             WHERE doc_id != {MLT_DOC} GROUP BY 1)
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id)::int AS rank,
+         doc_id, score
+  FROM scored) WHERE rank <= {MLT_K}""")
     sc_vals = ", ".join(
         f"('{t}', {c})" for t, c in sorted(Counter(tokenize_py(RRF_QUERY)).items())
     )

@@ -113,6 +113,9 @@ def main() -> None:
     _AGG.facet_topn(wi, "(warm OR table OR query)~2", "lang", 3).collect()
     _AGG.group_stats(wi, "warm", "source", "n_chars").collect()
     _AGG.numeric_histogram(wi, "warm", "n_chars", 100).collect()
+    from local_search_engine_spark.operators.morelike import more_like_this as _MLT
+
+    _MLT(wi, 1, 3, max_query_terms=8).collect()
     from local_search_engine_spark.streaming.percolate import percolate as _perc
 
     _perc(mini, [(0, "warm table")], "text", "doc_id").count()
@@ -256,6 +259,12 @@ def main() -> None:
         return len(a) + len(b) + len(c)
 
     bench("bool_aggs", _aggs)
+    # more-like-this (operators/morelike.py, r05d): one-doc tf scan for
+    # term selection + the standard broadcast BM25 OR plan
+    bench(
+        "more_like_this",
+        lambda: _MLT(idx, 7, 10, max_query_terms=16).collect(),
+    )
     bench(
         "bool_rank_topk",
         lambda: BQ.topk(

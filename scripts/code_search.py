@@ -419,6 +419,72 @@ def cmd_phrase(spark, corpus, args) -> dict:
     }
 
 
+def cmd_like(spark, corpus, args) -> dict:
+    """Find-similar (operators/morelike.py, Lucene more-like-this):
+    `--file REPO:PATH` names the source document; its top tf·idf terms
+    (from the persisted index — the text is not re-tokenized) become a
+    BM25 OR query and the k most similar OTHER files come back, with
+    the derived terms disclosed so the result is explainable."""
+    from pyspark.sql import functions as F
+
+    from local_search_engine_spark.operators.morelike import (
+        interesting_terms,
+        more_like_this,
+    )
+    from local_search_engine_spark.plans.checkpoint import load_index
+
+    repo, _, path = args.file.partition(":")
+    if not path:
+        raise ValueError(f"--file expects REPO:PATH, got {args.file!r}")
+    dirs = _ensure_search_indexes(spark, corpus, args.index)
+    idx, _p, _m, _s = load_index(spark, dirs["bm25"])
+    ids = _docs_with_ids(corpus, idx)
+    # resolve by content hash (the CLI-wide id contract): a file whose
+    # content exactly duplicates another still resolves to the one
+    # doc_id the index kept for that content
+    src = (
+        corpus.filter((F.col("repo") == repo) & (F.col("path") == path))
+        .select(F.sha2("content", 256).alias("content_sha256"))
+        .collect()
+    )
+    if not src:
+        raise ValueError(f"no corpus file {args.file!r}")
+    doc = (
+        idx.docs.filter(F.col("content_sha256") == src[0]["content_sha256"])
+        .select("doc_id")
+        .collect()
+    )
+    if not doc:
+        raise ValueError(f"{args.file!r} is not in the index")
+    doc_id = int(doc[0]["doc_id"])
+    terms = interesting_terms(idx, doc_id, max_query_terms=args.terms)
+    res = more_like_this(idx, doc_id, args.k, max_query_terms=args.terms)
+    rows = (
+        ids.select(
+            "doc_id",
+            F.concat_ws(":", F.col("repo"), F.col("path")).alias("file"),
+            "lang",
+        )
+        .join(F.broadcast(res), "doc_id")
+        .orderBy("rank")
+        .collect()
+    )
+    return {
+        "cmd": "like",
+        "file": args.file,
+        "query_terms": [t for t, _, _, _ in terms],
+        "results": [
+            {
+                "rank": int(r["rank"]),
+                "file": r["file"],
+                "lang": r["lang"],
+                "score": round(float(r["score"]), 6),
+            }
+            for r in rows
+        ],
+    }
+
+
 def cmd_bool(spark, corpus, args) -> dict:
     """Boolean search (operators/boolquery.py): AND/OR/NOT, parens,
     quoted exact phrases — `"a b"~3` sloppy/proximity phrases —
@@ -541,7 +607,7 @@ def main() -> None:
         "cmd",
         choices=[
             "index", "grep", "def", "related", "suggest", "search",
-            "phrase", "bool",
+            "phrase", "bool", "like",
         ],
     )
     ap.add_argument("--corpus")
@@ -571,6 +637,10 @@ def main() -> None:
                     help="bool: keyset pagination cursor SCORE:DOC_ID — "
                          "pass the previous page's next_after to get "
                          "the next k results (offset-free deep paging)")
+    ap.add_argument("--file", default=None,
+                    help="like: source document as REPO:PATH")
+    ap.add_argument("--terms", type=int, default=25,
+                    help="like: max derived query terms (tf-idf top-M)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -645,6 +715,10 @@ def main() -> None:
         print(json.dumps(out))
     elif args.cmd == "bool":
         out = cmd_bool(spark, corpus, args)
+        out["wall_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
+    elif args.cmd == "like":
+        out = cmd_like(spark, corpus, args)
         out["wall_sec"] = round(time.time() - t0, 2)
         print(json.dumps(out))
     else:  # suggest

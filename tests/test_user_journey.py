@@ -409,6 +409,50 @@ def test_cli_bool_subcommand(spark, tmp_path):
         )
 
 
+def test_cli_like_subcommand(spark, tmp_path):
+    """`like` (r05d): find-similar by file name. The derived query
+    terms all come from the source document, the source never returns
+    itself, and every hit shares at least one derived term with the
+    source (it matched the OR rewrite). Exact rank parity vs the pure-
+    Python twin is pinned at the operator level (test_morelike)."""
+    import argparse
+
+    from scripts.code_search import cmd_like
+
+    from local_search_engine_spark.functions.tokenize import tokenize_py
+
+    corpus = gen_corpus_spark(spark, 100, partitions=4)
+    root = str(tmp_path / "root")
+    src = corpus.orderBy("repo", "path").select("repo", "path", "content").first()
+    fname = f'{src["repo"]}:{src["path"]}'
+    out = cmd_like(
+        spark, corpus,
+        argparse.Namespace(file=fname, index=root, k=10, terms=12),
+    )
+    src_toks = set(tokenize_py(src["content"]))
+    assert out["query_terms"] and set(out["query_terms"]) <= src_toks
+    assert len(out["query_terms"]) <= 12
+    res = out["results"]
+    assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    assert fname not in {r["file"] for r in res}
+    by_file = {
+        r["file"]: r["content"]
+        for r in corpus.selectExpr(
+            "concat_ws(':', repo, path) AS file", "content"
+        ).collect()
+    }
+    qset = set(out["query_terms"])
+    for r in res:
+        assert qset & set(tokenize_py(by_file[r["file"]])), r["file"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no corpus file"):
+        cmd_like(
+            spark, corpus,
+            argparse.Namespace(file="nope:nope.py", index=root, k=5, terms=5),
+        )
+
+
 def test_cli_search_minus_exclusion(spark, tmp_path):
     """`-term` in the composed search is a hard exclusion: the result
     set equals the un-excluded result set minus every doc containing
