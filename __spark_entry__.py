@@ -413,16 +413,13 @@ def _phrase_sql(specs, near_specs=(), perc_specs=(), bool_specs=()) -> str:
     from local_search_engine_spark.operators.boolquery import (
         collect_leaves as _bq_leaves,
     )
-    from local_search_engine_spark.operators.boolquery import (
-        parse_query as _bq_parse,
-    )
 
     # mode='boolperc' (r05c): the SAME standing boolean queries, same
     # independent oracle — but the ENGINE side is the index-free
     # percolator (percolate_bool), so the driver hash-checks two
     # structurally different engine evaluators against one oracle
     for pid, qtext in bool_specs:
-        node = _bq_parse(qtext)
+        node = _bool_spec_node(qtext)
         kvals.append(f"('bool', {pid}, 2147483647)")
         kvals.append(f"('boolperc', {pid}, 2147483647)")
         leaves = _bq_leaves(node)
@@ -869,7 +866,27 @@ BOOL_SPECS = [
     # the group; pid 20 nests msm under NOT (docs matching ≤1 clause)
     (19, '(fast OR scan OR "spark window")~2 AND NOT merge'),
     (20, "table AND NOT (fast OR scan OR agg)~2"),
+    # query-time synonym expansion (r05d): a (query, groups) spec —
+    # the gate expands BEFORE evaluation via _bool_spec_node, so both
+    # engine evaluators (index joins, percolator masks) and the SQL
+    # set-algebra oracle all run the expanded tree. pid 21 widens a
+    # positive leaf; pid 22 distributes a negation over the class
+    (21, ("scan AND NOT agg", (("scan", "fast"),))),
+    (22, ("table AND NOT fast", (("fast", "merge"),))),
 ]
+
+
+def _bool_spec_node(q):
+    """A BOOL_SPECS query as an AST: plain string → parse; a
+    (query, synonym_groups) tuple → parse then expand_synonyms."""
+    from local_search_engine_spark.operators.boolquery import (
+        expand_synonyms,
+        parse_query,
+    )
+
+    if isinstance(q, tuple):
+        return expand_synonyms(parse_query(q[0]), q[1])
+    return parse_query(q)
 # ranked boolean rows ride bm25_batch (query_id 100+): boolean filter
 # + BM25 over the positive-leaf token multiset, shared rounded-rank
 # rule. Term-only queries (the phrase-leaf path is hash-gated by the
@@ -1861,7 +1878,7 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     bw = Window.partitionBy("phrase_id").orderBy(F.desc("cnt"), F.asc("doc_id"))
     for pid, qtext in BOOL_SPECS:
         parts.append(
-            bq.matches(idx, qtext, phrase_query=q, regex_query=rq)
+            bq.matches(idx, _bool_spec_node(qtext), phrase_query=q, regex_query=rq)
             .select(
                 F.lit("bool").alias("mode"),
                 F.lit(pid).cast("int").alias("phrase_id"),
@@ -1877,7 +1894,10 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-shuffle pass answers the whole standing set.
     from local_search_engine_spark.streaming.percolate import percolate_bool
 
-    pb = percolate_bool(_docs(spark, sf_dir), BOOL_SPECS)
+    pb = percolate_bool(
+        _docs(spark, sf_dir),
+        [(pid, _bool_spec_node(q)) for pid, q in BOOL_SPECS],
+    )
     parts.append(
         pb.select(
             F.lit("boolperc").alias("mode"),

@@ -569,6 +569,81 @@ def _mk_boost(child, factor: float):
     return Boost(child, factor)
 
 
+def expand_synonyms(node, groups):
+    """Query-time synonym expansion (Elasticsearch search-time
+    `synonym` filter, equivalence-class mode): each group is an
+    iterable of terms that mean the same thing; every Term leaf whose
+    term belongs to a group is rewritten to the OR of the group's
+    terms. Returns a new AST; the input is untouched.
+
+    Semantics (documented choices, all Lucene/Elasticsearch defaults):
+      * expansion applies to TERM leaves only — phrase/prefix/fuzzy/
+        regex/field leaves pass through (multi-token synonym graphs
+        need a graph phrase matcher this engine does not build);
+      * group members are analyzer-normalized on entry; a member that
+        analyzes to nothing (stopword) is dropped; a group with < 2
+        surviving members is a no-op;
+      * expansion applies under NOT too (`NOT fast` with fast≡quick
+        excludes docs containing either — negation distributes over
+        the equivalence class);
+      * inside an AtLeast group the expanded OR still counts as ONE
+        clause (Lucene: a synonym-expanded SHOULD clause is one
+        clause for minimum_should_match);
+      * rank-time each synonym scores as its own term with the original
+        weight (Elasticsearch query-time expansion semantics — blended
+        SynonymQuery df is an index-time feature, deliberately not
+        reproduced);
+      * expanded trees are for EVALUATION: they are not guaranteed to
+        round-trip through to_query_string (an Or child inside an
+        AtLeast re-flattens on parse).
+
+    Overlapping groups are rejected — transitively merge them yourself
+    if that is what you mean."""
+    term_to_group: dict = {}
+    for g in groups:
+        terms = []
+        for raw in g:
+            analyzed = tokenize_py(str(raw))
+            if len(analyzed) > 1:
+                raise ValueError(
+                    f"synonym entries must analyze to a single term: {raw!r}"
+                )
+            if analyzed:
+                terms.append(analyzed[0])
+        uniq = tuple(dict.fromkeys(terms))
+        if len(uniq) < 2:
+            continue
+        for t in uniq:
+            if t in term_to_group and term_to_group[t] != uniq:
+                raise ValueError(
+                    f"term {t!r} appears in two synonym groups — merge them"
+                )
+            term_to_group[t] = uniq
+    if not term_to_group:
+        return node
+
+    def walk(n):
+        if isinstance(n, Term):
+            g = term_to_group.get(n.term)
+            if g is None:
+                return n
+            return Or(tuple(Term(t) for t in g))
+        if isinstance(n, Not):
+            return _mk_not(walk(n.child))
+        if isinstance(n, Boost):
+            return _mk_boost(walk(n.child), n.factor)
+        if isinstance(n, And):
+            return _mk_and([walk(c) for c in n.children])
+        if isinstance(n, Or):
+            return _mk_or([walk(c) for c in n.children])
+        if isinstance(n, AtLeast):
+            # children rewritten in place: clause COUNT is preserved
+            return AtLeast(tuple(walk(c) for c in n.children), n.n)
+        return n  # Bool and every non-Term leaf kind pass through
+
+    return walk(node)
+
+
 def to_query_string(node) -> str:
     """Serialize an AST back to query-language text such that
     parse_query(to_query_string(n)) == n for any PARSED tree (i.e. one

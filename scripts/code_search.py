@@ -501,6 +501,17 @@ def cmd_bool(spark, corpus, args) -> dict:
     from local_search_engine_spark.plans.checkpoint import load_index
 
     node = bq.parse_query(args.query)
+    raw_syn = getattr(args, "synonyms", None)
+    if raw_syn:
+        # --synonyms "fast,quick,rapid;table,tbl" — ';'-separated
+        # equivalence groups, ','-separated members (query-time
+        # expansion: every member matches any other)
+        groups = [
+            [m.strip() for m in grp.split(",") if m.strip()]
+            for grp in raw_syn.split(";")
+            if grp.strip()
+        ]
+        node = bq.expand_synonyms(node, groups)
     sort_by = None
     raw_sort = getattr(args, "sort", None)
     if raw_sort:
@@ -637,6 +648,10 @@ def main() -> None:
                     help="bool: keyset pagination cursor SCORE:DOC_ID — "
                          "pass the previous page's next_after to get "
                          "the next k results (offset-free deep paging)")
+    ap.add_argument("--synonyms", default=None,
+                    help="bool: query-time synonym groups, "
+                         "';'-separated groups of ','-separated terms "
+                         "(e.g. --synonyms 'fast,quick;tbl,table')")
     ap.add_argument("--file", default=None,
                     help="like: source document as REPO:PATH")
     ap.add_argument("--terms", type=int, default=25,

@@ -350,6 +350,69 @@ def test_static_analysis():
     )
 
 
+def test_expand_synonyms_shapes():
+    from local_search_engine_spark.operators.boolquery import expand_synonyms
+
+    g = [["fast", "quick"], ["table", "tbl"]]
+    assert expand_synonyms(parse_query("fast AND io"), g) == And(
+        (Or((Term("fast"), Term("quick"))), Term("io"))
+    )
+    # symmetric: any member of the group expands to the whole group
+    assert expand_synonyms(parse_query("quick"), g) == Or(
+        (Term("fast"), Term("quick"))
+    )
+    # under NOT: negation distributes over the equivalence class
+    assert expand_synonyms(parse_query("NOT fast"), g) == Not(
+        Or((Term("fast"), Term("quick")))
+    )
+    # boost carries through
+    assert expand_synonyms(parse_query("fast^2"), g) == Boost(
+        Or((Term("fast"), Term("quick"))), 2.0
+    )
+    # inside an msm group the expanded OR is still ONE clause
+    got = expand_synonyms(parse_query("(fast OR io OR agg)~2"), g)
+    assert got == AtLeast(
+        (Or((Term("fast"), Term("quick"))), Term("io"), Term("agg")), 2
+    )
+    # non-Term leaves pass through untouched
+    q = '"fast scan" AND fas* AND /fast/ AND lang:fast'
+    assert expand_synonyms(parse_query(q), g) == parse_query(q)
+    # analyzer on entries: stopword members drop; <2 survivors = no-op
+    assert expand_synonyms(parse_query("fast"), [["fast", "a"]]) == Term("fast")
+    assert expand_synonyms(parse_query("fast"), [["FAST", "Quick"]]) == Or(
+        (Term("fast"), Term("quick"))
+    )
+    with pytest.raises(ValueError, match="single term"):
+        expand_synonyms(Term("x"), [["fast", "two words"]])
+    with pytest.raises(ValueError, match="two synonym groups"):
+        expand_synonyms(Term("x"), [["fast", "quick"], ["fast", "slow"]])
+
+
+def test_synonym_matches_and_rank(setup):
+    """Expanded query evaluates exactly like its hand-expanded twin,
+    both for the match set and the ranked top-k."""
+    from local_search_engine_spark.operators.boolquery import expand_synonyms
+
+    rows, idx, pq, rq = setup
+    g = [["fast", "slow"]]  # both in-vocab: the match set genuinely widens
+    node = expand_synonyms(parse_query("fast AND NOT agg"), g)
+    got = {r["doc_id"] for r in matches(idx, node).collect()}
+    want = set(_brute_matches(rows, "(fast OR slow) AND NOT agg"))
+    assert got == want
+    assert got > set(_brute_matches(rows, "fast AND NOT agg"))
+    got_rank = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in topk(idx, node, 10).collect()
+    ]
+    want_rank = _brute_topk(rows, idx, "(fast OR slow) AND NOT agg", 10)
+    assert [(r, d) for r, d, _ in got_rank] == [(r, d) for r, d, _ in want_rank]
+    # a dead (OOV) synonym is a no-op on the match set
+    node2 = expand_synonyms(parse_query("fast"), [["fast", "zzzznotaterm"]])
+    assert {r["doc_id"] for r in matches(idx, node2).collect()} == set(
+        _brute_matches(rows, "fast")
+    )
+
+
 def test_sloppy_contains_exact(setup):
     """An exact phrase occurrence IS a ±w proximity occurrence for any
     w ≥ 1 (the second token sits at anchor+1), so the exact match set

@@ -359,6 +359,34 @@ def test_cli_bool_subcommand(spark, tmp_path):
             want_counts[lang] = want_counts.get(lang, 0) + 1
     assert out4["facets"] == want_counts and sum(want_counts.values()) > 5
 
+    # --synonyms (r05d): query-time expansion — the synonym query's
+    # match set equals the hand-expanded OR query's, and strictly
+    # contains the unexpanded one
+    syn = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(
+            query="merge AND shard", index=root, k=500,
+            synonyms="merge,batch",
+        ),
+    )
+    manual = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(query="(merge OR batch) AND shard", index=root, k=500),
+    )
+    plain = cmd_bool(
+        spark, corpus, argparse.Namespace(query="merge AND shard", index=root, k=500)
+    )
+    assert {r["file"] for r in syn["results"]} == {
+        r["file"] for r in manual["results"]
+    }
+    # expansion can only widen (on this corpus batch+shard docs may all
+    # carry merge too, so equality is legitimate)
+    assert {r["file"] for r in syn["results"]} >= {
+        r["file"] for r in plain["results"]
+    }
+
     # --after (r05d): keyset pagination — two k=5 pages stitched with
     # the next_after cursor equal the single k=10 page
     page10 = cmd_bool(
