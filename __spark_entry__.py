@@ -99,6 +99,16 @@ def _q_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> length(x) >= 2)"
 
+
+def _toks_of(col: str) -> str:
+    """The shared-tokenizer DuckDB expression over an arbitrary column
+    (the BM25F oracle tokenizes several fields; _TOKS is this applied
+    to `text`)."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9_]+'), "
+        "x -> length(x) >= 2)"
+    )
+
 # BM25 index CTE chain — mirrors operators/build.py exactly (incl. the
 # two-pass epsilon-floored IDF). Parametrized by the (doc_id, text)
 # source so the same chain indexes documents OR derived chunks.
@@ -982,6 +992,23 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(
         more_like_this(idx, MLT_DOC, MLT_K, max_query_terms=MLT_TERMS).select(
             F.lit(109).alias("query_id"), "rank", "doc_id", "score"
+        )
+    )
+    # query_id 110 (r05d): BM25F — the (text, source) fields blended
+    # into ONE index (tf·w summed BEFORE saturation, any-field df,
+    # blended length norm; operators/build.build_index_fields). The
+    # oracle rebuilds the entire blended chain in SQL from scratch.
+    from local_search_engine_spark.operators.build import build_index_fields
+    from local_search_engine_spark.operators.query import score_all as _sa
+
+    fidx = build_index_fields(
+        _docs(spark, sf_dir).select("doc_id", "text", "source"),
+        BM25F_WEIGHTS,
+        cache=False,
+    )
+    out = out.unionByName(
+        _ranked_topk(_sa(fidx, BM25F_QUERY), BM25F_K).select(
+            F.lit(110).alias("query_id"), "rank", "doc_id", "score"
         )
     )
     return out
@@ -2104,6 +2131,12 @@ PAGE_K = 10
 MLT_DOC = 7
 MLT_TERMS = 8
 MLT_K = 10
+# BM25F gate (query_id 110 in bm25_batch): two-field blended index over
+# (text, source) — source is the keyword-ish "title" stand-in; 2.0 is
+# binary-exact so blended tf sums are bit-stable on both engines
+BM25F_WEIGHTS = {"text": 1.0, "source": 2.0}
+BM25F_QUERY = "fast src3"
+BM25F_K = 10
 
 
 def q_results_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2981,6 +3014,49 @@ SELECT 109 AS query_id, rank, doc_id, score FROM (
   SELECT row_number() OVER (ORDER BY score DESC, doc_id)::int AS rank,
          doc_id, score
   FROM scored) WHERE rank <= {MLT_K}""")
+    # query_id 110: BM25F twin — the full blended chain (per-field
+    # tokenize, tf·w union, any-field df, two-pass floored idf, blended
+    # length norm) rebuilt in SQL, independent of the Spark build
+    _f_unions = " UNION ALL ".join(
+        f"SELECT doc_id, tok AS term, {float(w)} AS w "
+        f"FROM (SELECT doc_id, {_toks_of(c)} AS toks FROM documents), "
+        f"unnest(toks) AS u(tok)"
+        for c, w in sorted(BM25F_WEIGHTS.items())
+    )
+    _f_qvals = ", ".join(
+        f"('{t}', {c})"
+        for t, c in sorted(Counter(tokenize_py(BM25F_QUERY)).items())
+    )
+    batch_sqls.append(f"""
+SELECT 110 AS query_id, rank, doc_id, score FROM (
+  WITH tfw AS (SELECT doc_id, term, sum(w) AS tf
+               FROM ({_f_unions}) GROUP BY 1, 2),
+  dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tfw GROUP BY 1),
+  stats AS (SELECT count(*)::bigint AS n_docs,
+                   avg(coalesce(dl.doc_len, 0.0)) AS avgdl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+  dfreq AS (SELECT term, count(*)::bigint AS df FROM tfw GROUP BY 1),
+  idf0 AS (SELECT term,
+                  ln((SELECT n_docs FROM stats) - df + 0.5) - ln(df + 0.5)
+                    AS idf_raw
+           FROM dfreq),
+  aidf AS (SELECT avg(idf_raw) AS avg_idf FROM idf0),
+  idf AS (SELECT term,
+                 CASE WHEN idf_raw < 0
+                      THEN {BM25_EPSILON} * (SELECT avg_idf FROM aidf)
+                      ELSE idf_raw END AS idf
+          FROM idf0),
+  q(term, qtf) AS (VALUES {_f_qvals}),
+  contrib AS (
+    SELECT tfw.doc_id,
+           idf.idf * q.qtf * tfw.tf * {BM25_K1 + 1.0}
+             / (tfw.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len
+                                       / (SELECT avgdl FROM stats))) AS c
+    FROM tfw JOIN q USING (term) JOIN idf USING (term) JOIN dl USING (doc_id)),
+  scored AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY 1)
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id)::int AS rank,
+         doc_id, score
+  FROM scored) WHERE rank <= {BM25F_K}""")
     sc_vals = ", ".join(
         f"('{t}', {c})" for t, c in sorted(Counter(tokenize_py(RRF_QUERY)).items())
     )

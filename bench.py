@@ -116,6 +116,14 @@ def main() -> None:
     from local_search_engine_spark.operators.morelike import more_like_this as _MLT
 
     _MLT(wi, 1, 3, max_query_terms=8).collect()
+    from local_search_engine_spark.operators.build import (
+        build_index_fields as _BIF,
+    )
+    from local_search_engine_spark.operators.query import score_all as _SAF
+
+    _wf = _BIF(mini.select("doc_id", "text", "source"),
+               {"text": 1.0, "source": 2.0}, cache=False)
+    _SAF(_wf, "warm table").orderBy("doc_id").limit(3).collect()
     from local_search_engine_spark.streaming.percolate import percolate as _perc
 
     _perc(mini, [(0, "warm table")], "text", "doc_id").count()
@@ -265,6 +273,27 @@ def main() -> None:
         "more_like_this",
         lambda: _MLT(idx, 7, 10, max_query_terms=16).collect(),
     )
+    # BM25F (build.build_index_fields, r05d): two-field blended build
+    # (per-field tokenize+tf, union, one (doc_id, term) blend shuffle)
+    # + one ranked query over the blended index — end-to-end cold
+    from local_search_engine_spark.operators.build import build_index_fields
+
+    def _bm25f():
+        fi = build_index_fields(
+            docs.select("doc_id", "text", "source"),
+            {"text": 1.0, "source": 2.0},
+            cache=False,
+        )
+        return (
+            score_all_fn(fi, "fast table")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+            .collect()
+        )
+
+    from local_search_engine_spark.operators.query import score_all as score_all_fn
+
+    bench("bm25f_build_topk", _bm25f)
     bench(
         "bool_rank_topk",
         lambda: BQ.topk(

@@ -380,6 +380,110 @@ def build_index_from(
     )
 
 
+def build_index_fields(
+    docs_with_id,
+    field_weights: dict,
+    params: BM25Params | None = None,
+    cache: bool = True,
+    tf_impl: str = "auto",
+    tokenizer=None,
+) -> InvertedIndex:
+    """BM25F multi-field index (Robertson & Zaragoza's simplified BM25F;
+    Elasticsearch `combined_fields`): the fields are treated as ONE
+    combined field where each field's term occurrences count
+    `field_weights[f]` times — per-field tf is blended BEFORE the BM25
+    saturation, which is what distinguishes BM25F from naively summing
+    per-field BM25 scores (a term saturates once across fields, so two
+    mediocre fields cannot outscore one strong one):
+
+        tf_blend(t, d)  = Σ_f  w_f · tf_f(t, d)
+        dl_blend(d)     = Σ_f  w_f · len_f(d)     (= Σ_t tf_blend(t, d))
+        score(q, d)     = Σ_t idf(t) · tf_blend·(k1+1)
+                              / (tf_blend + k1·(1 − b + b·dl_blend/avgdl_blend))
+
+    with df(t) = #docs containing t in ANY field and the same two-pass
+    epsilon-floored idf as the single-field build.
+
+    Returns a standard InvertedIndex whose tf and doc_len are DOUBLE —
+    every downstream consumer (score_terms, topk, the boolean language,
+    more_like_this, aggregations) works unchanged, because tf only ever
+    enters the score as a double. The reference engine is single-field
+    (`/root/reference/preprocessing.py:505-515` indexes one combined
+    text blob with no per-field weighting); this is the engine EXTENSION
+    a code-search deployment wants (`path^3 + content` makes filename
+    hits outrank body hits).
+
+    Scale shape: one tokenize + one tf aggregation PER FIELD (each the
+    same plan as the single-field build over that column), one
+    unionByName (no shuffle), one (doc_id, term) groupBy — the blend
+    shuffle replaces the single-field build's none, but it is keyed by
+    (doc_id, term) so hot terms do not skew it. Weights that are exact
+    binary fractions (1.0, 2.0, 0.5, 2.5 …) keep every product and the
+    ≤|fields|-term sums exact in double, so results are bit-stable
+    across partitionings; arbitrary weights are stable to float
+    ulp-noise (the 6dp rounded-rank rule absorbs it)."""
+    from pyspark.sql import functions as F
+
+    if not field_weights:
+        raise ValueError("field_weights must name at least one column")
+    params = params or BM25Params()
+    blended = None
+    for fcol in sorted(field_weights):
+        w = float(field_weights[fcol])
+        if w <= 0:
+            raise ValueError(f"field weight must be positive: {fcol}={w}")
+        if fcol not in docs_with_id.columns:
+            raise ValueError(
+                f"unknown field column {fcol!r} — input has: "
+                f"{sorted(docs_with_id.columns)}"
+            )
+        tok = tokenized_docs(docs_with_id, text_col=fcol, tokenizer=tokenizer)
+        tf_f = term_frequencies(tok, impl=tf_impl).select(
+            "doc_id", "term", (F.col("tf") * F.lit(w)).alias("wtf")
+        )
+        blended = tf_f if blended is None else blended.unionByName(tf_f)
+    tf = blended.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tf"))
+    if cache:
+        tf = tf.cache()
+    meta = docs_with_id
+    if "content_sha256" not in meta.columns:
+        # per-row invariant over the COMBINED content: fields joined by
+        # NUL in deterministic (sorted-name) order
+        meta = meta.withColumn(
+            "content_sha256",
+            F.sha2(
+                F.concat_ws("\x00", *[F.col(c) for c in sorted(field_weights)]),
+                256,
+            ),
+        )
+    doc_lens = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("doc_len")
+    )
+    docs = (
+        meta.drop(*field_weights)
+        .join(doc_lens, "doc_id", "left")
+        .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0.0)))
+    )
+    if cache:
+        docs = docs.cache()
+    row = docs.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"] or 0.0)
+    idf, avg_idf = idf_table(doc_freqs(tf), n_docs, params.epsilon)
+    if cache:
+        idf = idf.cache()
+    return InvertedIndex(
+        docs=docs,
+        tf=tf,
+        idf=idf,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        avg_idf=avg_idf,
+        params=params,
+    )
+
+
 def build_index(
     corpus,
     params: BM25Params | None = None,
