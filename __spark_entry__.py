@@ -2901,6 +2901,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         engine side — two structurally different engine evaluators
         (index joins vs batch-local numpy masks) hash-checked against
         the one set-algebra oracle.
+      * r05d search-surface wave, same two gates + results_by_source,
+        no slots moved:
+        - BOOL_SPECS 19-20 minimum-should-match groups `(a OR b)~n`
+          (engine codegen'd clause count vs oracle UNION ALL + HAVING
+          count ≥ n); 21-22 query-time synonym expansion — (query,
+          groups) specs expanded by _bool_spec_node before BOTH engine
+          evaluators and the oracle.
+        - BOOLRANK/bm25_batch: query_id 108 search_after keyset
+          pagination (engine boundary-filter page 2 vs oracle global
+          ranks k+1..2k), 109 more-like-this (tf·idf term selection +
+          self-excluded BM25, both re-derived in SQL), 110 BM25F
+          two-field blended index (the full blended chain — tf·w union,
+          any-field df, blended length norm, floored idf — rebuilt in
+          SQL from scratch).
+        - results_by_source is now the search-analytics gate: unified
+          (mode,k1,k2,n_hits,v1..v4,extra) schema carrying the original
+          by_source rollup plus facet_topn (with hash-checked facet
+          ORDER), group_stats, and numeric_histogram row families over
+          an msm-query match set (operators/aggs.py).
 
     The 12 gates the r02 driver window missed lead the dict; every cut
     gate's callable remains tested in tests/ (see SURVEY.md §8)."""
