@@ -182,7 +182,25 @@ BOOL_STANDING = [
     (7, "fast^2 AND scan"),  # boost is matching-transparent
     (8, "zz_absent AND table"),  # OOV conjunct -> no rows
     (9, '"table sc*" OR "fast io"'),  # phrase-prefix (search-as-you-type)
+    (10, "(table OR fast OR io)~2 AND NOT agg"),  # minimum-should-match
+    (11, "NOT (table OR scan OR io)~2"),  # msm under NOT
 ]
+
+
+def _syn_standing():
+    """Standing queries given as pre-expanded ASTs (the synonym path a
+    saved-search store would persist): both engine evaluators must
+    agree on expanded trees too."""
+    from local_search_engine_spark.operators.boolquery import (
+        expand_synonyms,
+        parse_query,
+    )
+
+    g = [["fast", "slow"]]
+    return [
+        (100, expand_synonyms(parse_query("fast AND NOT agg"), g)),
+        (101, expand_synonyms(parse_query("(fast OR table OR io)~2"), g)),
+    ]
 
 
 def _bool_rows(n=60, seed=33):
@@ -215,9 +233,10 @@ def test_percolate_bool_equals_index_path(spark):
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, n_chars long"
     ).repartition(4)
+    standing = BOOL_STANDING + _syn_standing()
     got = {
         (r["doc_id"], r["query_id"], r["n_hits"])
-        for r in percolate_bool(df, BOOL_STANDING).collect()
+        for r in percolate_bool(df, standing).collect()
     }
 
     idx = build_index_from(df, text_col="text")
@@ -231,10 +250,12 @@ def test_percolate_bool_equals_index_path(spark):
         content, text_col="text", trigram=doc_trigrams(content, text_col="text")
     )
     want = set()
-    for qid, q in BOOL_STANDING:
+    for qid, q in standing:
         for r in bq.matches(idx, q, phrase_query=pq, regex_query=rq).collect():
             want.add((r["doc_id"], qid, r["n_hits"]))
     assert got == want
+    assert any(q == 10 for _, q, _ in got)  # msm family non-vacuous
+    assert any(q == 101 for _, q, _ in got)  # expanded-tree family too
     assert any(q == 8 for _, q, _ in got) is False  # OOV conjunct empty
     assert got  # non-vacuous
 
