@@ -172,6 +172,65 @@ def run_query_set(index: InvertedIndex, queries: list[tuple[int, str, int]]):
     )
 
 
+def explain_score(index: InvertedIndex, query, doc_id):
+    """Score explanation (Elasticsearch `_explain`): the per-term BM25
+    contribution breakdown for one document — or a whole result page at
+    once when `doc_id` is a list — why it scored what it scored.
+    `query` is a free-text string (tokenized with the engine analyzer)
+    or an explicit {term: qtf} multiset.
+
+    Returns DataFrame(doc_id long, term, qtf double, tf double,
+    df long, idf double, doc_len double, contribution double) with one
+    row per query term PRESENT in the doc (absent terms contribute
+    exactly 0 and are omitted, mirroring the posting-driven score
+    domain); per doc, sum(contribution) in ascending term order equals
+    the score_terms score bit-exactly (the engine's summation rule).
+
+    Plan: the doc_id IN filter pushes into the tf scan, the ≤|query|
+    idf rows broadcast — ONE job for the whole page, output
+    O(|docs| · |query terms|), nothing corpus-sized moves."""
+    from pyspark.sql import functions as F
+
+    if isinstance(query, str):
+        term_counts = dict(Counter(tokenize_py(query)))
+    else:
+        term_counts = dict(query)
+    ids = (
+        [int(doc_id)]
+        if isinstance(doc_id, int)
+        else [int(x) for x in doc_id]
+    )
+    spark = index.tf.sparkSession
+    empty = (
+        "doc_id long, term string, qtf double, tf double, df bigint, "
+        "idf double, doc_len double, contribution double"
+    )
+    if not term_counts or not ids:
+        return spark.createDataFrame([], empty)
+    terms = sorted(term_counts)
+    qt = spark.createDataFrame(
+        [(t, float(term_counts[t])) for t in terms], "term string, qtf double"
+    )
+    idf_q = index.idf.select("term", "df", "idf").filter(F.col("term").isin(terms))
+    joined = (
+        index.tf.filter(F.col("doc_id").isin(ids))
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(idf_q), "term")
+        .join(index.docs.select("doc_id", "doc_len"), "doc_id")
+    )
+    contrib = contribution_col(index.params.k1, index.params.b, index.avgdl)
+    return joined.select(
+        "doc_id",
+        "term",
+        F.col("qtf").cast("double").alias("qtf"),
+        F.col("tf").cast("double").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("idf").cast("double").alias("idf"),
+        F.col("doc_len").cast("double").alias("doc_len"),
+        contrib.alias("contribution"),
+    )
+
+
 def suggest_terms(index, prefix: str, k: int = 10):
     """Query autocomplete: top-k vocabulary terms starting with `prefix`
     (case-folded through the engine tokenizer's lowercase rule), ranked

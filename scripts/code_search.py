@@ -561,6 +561,27 @@ def cmd_bool(spark, corpus, args) -> dict:
         .orderBy("rank")
         .collect()
     )
+    explain_by_doc: dict = {}
+    if getattr(args, "explain", False) and rows:
+        # per-term BM25 breakdown for the WHOLE page in one job
+        # (Elasticsearch _explain); constant-score leaves contribute
+        # nothing, exactly as they rank
+        from local_search_engine_spark.operators.query import explain_score
+
+        counts = bq.positive_token_counts(node)
+        ex = explain_score(
+            idx, dict(counts), [int(r["doc_id"]) for r in rows]
+        ).orderBy("doc_id", "term").collect()
+        for e in ex:
+            explain_by_doc.setdefault(int(e["doc_id"]), []).append(
+                {
+                    "term": e["term"],
+                    "tf": e["tf"],
+                    "df": int(e["df"]),
+                    "idf": round(float(e["idf"]), 6),
+                    "contribution": round(float(e["contribution"]), 6),
+                }
+            )
     out = {
         "cmd": "bool",
         "query": args.query,
@@ -570,6 +591,11 @@ def cmd_bool(spark, corpus, args) -> dict:
                 "file": r["file"],
                 "lang": r["lang"],
                 "score": round(float(r["score"]), 6),
+                **(
+                    {"explain": explain_by_doc.get(int(r["doc_id"]), [])}
+                    if getattr(args, "explain", False)
+                    else {}
+                ),
             }
             for r in rows
         ],
@@ -648,6 +674,9 @@ def main() -> None:
                     help="bool: keyset pagination cursor SCORE:DOC_ID — "
                          "pass the previous page's next_after to get "
                          "the next k results (offset-free deep paging)")
+    ap.add_argument("--explain", action="store_true",
+                    help="bool: attach the per-term BM25 contribution "
+                         "breakdown to every result row")
     ap.add_argument("--synonyms", default=None,
                     help="bool: query-time synonym groups, "
                          "';'-separated groups of ','-separated terms "

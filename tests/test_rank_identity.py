@@ -99,3 +99,56 @@ def test_partition_count_invariance(spark, oracle):
     ]
     want = [(r, d) for r, d, _ in oracle.topk("def merge shard", 10)]
     assert got == want
+
+
+def test_explain_score_decomposes_exactly(index, oracle):
+    """explain_score (Elasticsearch _explain twin): per-term rows carry
+    the oracle's tf/df/idf exactly, each contribution matches the
+    oracle's per-term product, and the ascending-term sum reproduces
+    the doc's score_terms score bit-exactly (the engine summation
+    rule). Terms absent from the doc are omitted; an all-OOV query
+    yields zero rows."""
+    import math
+    from collections import Counter
+
+    from local_search_engine_spark.functions.tokenize import tokenize_py
+    from local_search_engine_spark.operators.query import (
+        explain_score,
+        score_all,
+    )
+
+    query = "def merge shard merge"
+    top = topk(index, query, 3).collect()
+    assert top
+    for row in top:
+        d = row["doc_id"]
+        rows = explain_score(index, query, d).orderBy("term").collect()
+        assert rows
+        qt = Counter(tokenize_py(query))
+        # every present query term appears exactly once, absent omitted
+        want_terms = sorted(t for t in set(qt) if oracle.tf[d].get(t))
+        assert [r["term"] for r in rows] == want_terms
+        total = 0.0
+        for r in rows:
+            t = r["term"]
+            assert r["qtf"] == qt[t]
+            assert r["tf"] == oracle.tf[d][t]
+            assert r["df"] == oracle.df[t]
+            assert r["idf"] == pytest.approx(oracle.idf[t], abs=1e-12)
+            dl = oracle.doc_len[d]
+            want_c = (
+                oracle.idf[t] * qt[t] * oracle.tf[d][t] * (oracle.k1 + 1.0)
+                / (oracle.tf[d][t]
+                   + oracle.k1 * (1 - oracle.b + oracle.b * dl / oracle.avgdl))
+            )
+            assert r["contribution"] == pytest.approx(want_c, abs=1e-12)
+            total += r["contribution"]  # rows are in ascending term order
+        # bit-exact against the engine's own aggregate for this doc
+        engine_score = (
+            score_all(index, query).filter(f"doc_id = {d}").first()["score"]
+        )
+        assert math.isclose(total, engine_score, rel_tol=0, abs_tol=0.0) or (
+            total == engine_score
+        )
+    assert explain_score(index, "zzqq qqzz", int(top[0]["doc_id"])).count() == 0
+    assert explain_score(index, "", 0).count() == 0

@@ -359,6 +359,20 @@ def test_cli_bool_subcommand(spark, tmp_path):
             want_counts[lang] = want_counts.get(lang, 0) + 1
     assert out4["facets"] == want_counts and sum(want_counts.values()) > 5
 
+    # --explain (r05d): per-term BM25 breakdown attached per row; the
+    # contributions sum to the row score (both rounded to 6dp)
+    outx = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(query="merge AND shard", index=root, k=5, explain=True),
+    )
+    for r in outx["results"]:
+        assert r["explain"], r
+        assert {e["term"] for e in r["explain"]} <= {"merge", "shard"}
+        assert abs(sum(e["contribution"] for e in r["explain"]) - r["score"]) < 2e-6
+        for e in r["explain"]:
+            assert e["tf"] >= 1 and e["df"] >= 1
+
     # --synonyms (r05d): query-time expansion — the synonym query's
     # match set equals the hand-expanded OR query's, and strictly
     # contains the unexpanded one
