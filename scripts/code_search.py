@@ -582,6 +582,28 @@ def cmd_bool(spark, corpus, args) -> dict:
                     "contribution": round(float(e["contribution"]), 6),
                 }
             )
+    snippet_by_doc: dict = {}
+    want_snippets = getattr(args, "snippets", False)
+    if want_snippets and rows:
+        # densest positive-term window per RESULT row (never per-corpus);
+        # pure-negative/constant-score queries have no positive terms —
+        # rows then carry an empty snippet
+        from local_search_engine_spark.operators.snippets import best_snippets
+
+        terms = list(bq.positive_token_counts(node))
+        if terms:
+            ids = [int(r["doc_id"]) for r in rows]
+            content = (
+                _docs_with_ids(corpus, idx)
+                .filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "content")
+            )
+            snippet_by_doc = {
+                int(r["doc_id"]): r["snippet"]
+                for r in best_snippets(
+                    content, terms, text_col="content"
+                ).collect()
+            }
     out = {
         "cmd": "bool",
         "query": args.query,
@@ -594,6 +616,11 @@ def cmd_bool(spark, corpus, args) -> dict:
                 **(
                     {"explain": explain_by_doc.get(int(r["doc_id"]), [])}
                     if getattr(args, "explain", False)
+                    else {}
+                ),
+                **(
+                    {"snippet": snippet_by_doc.get(int(r["doc_id"]), "")}
+                    if want_snippets
                     else {}
                 ),
             }
@@ -677,6 +704,9 @@ def main() -> None:
     ap.add_argument("--explain", action="store_true",
                     help="bool: attach the per-term BM25 contribution "
                          "breakdown to every result row")
+    ap.add_argument("--snippets", action="store_true",
+                    help="bool: attach the densest positive-term window "
+                         "of each hit as a snippet")
     ap.add_argument("--synonyms", default=None,
                     help="bool: query-time synonym groups, "
                          "';'-separated groups of ','-separated terms "

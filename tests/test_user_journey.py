@@ -373,6 +373,20 @@ def test_cli_bool_subcommand(spark, tmp_path):
         for e in r["explain"]:
             assert e["tf"] >= 1 and e["df"] >= 1
 
+    # --snippets (r05d): densest positive-term window rides each row;
+    # every non-empty snippet is a verbatim substring of its file
+    # containing at least one positive term
+    outs = cmd_bool(
+        spark,
+        corpus,
+        argparse.Namespace(query="merge AND shard", index=root, k=5, snippets=True),
+    )
+    for r in outs["results"]:
+        snip = r["snippet"]
+        assert snip and snip in by_file[r["file"]][0]
+        stoks = set(tokenize_py(snip))
+        assert stoks & {"merge", "shard"}
+
     # --synonyms (r05d): query-time expansion — the synonym query's
     # match set equals the hand-expanded OR query's, and strictly
     # contains the unexpanded one
