@@ -466,9 +466,11 @@ WHERE r.rank <= km.k
 """
 
 
-def _srp_topk_sql(probe_r: int) -> str:
+def _srp_topk_sql(probe_r: int, id_filter: str = "") -> str:
     """SRP-LSH top-k oracle parametrized by probe radius (r=0 = exact
-    bucket; shared by the multiprobe, persisted, and recall gates)."""
+    bucket; shared by the multiprobe, persisted, and recall gates).
+    id_filter: extra AND predicate on cands.vec_id (the filtered-
+    vector-search twin — r05d)."""
     return f"""
 WITH hp AS (SELECT j, d,
             (('0x' || substr(md5('srp:' || j || ':' || d), 1, 8))::bigint
@@ -481,7 +483,7 @@ bucket AS (SELECT vec_id, sum(CASE WHEN p > 0 THEN (1::bigint << j::int) ELSE 0 
 qb AS (SELECT b FROM bucket WHERE vec_id = 0),
 cands AS (SELECT vec_id FROM bucket
           WHERE bit_count(xor(b, (SELECT b FROM qb))) <= {probe_r}
-            AND vec_id <> 0),
+            AND vec_id <> 0 {id_filter}),
 ev AS (SELECT vec_id, i, embedding[i]::double AS v
        FROM embeddings, range(1, 65) t(i)),
 qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
@@ -1460,6 +1462,51 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cosine").alias("recall"),
         )
     )
+    # filtered vector search (r05d, ES knn+filter — allowed= pre-filter
+    # semantics): 'fexact_id'/'fexact_cos' carry the exact top-k
+    # restricted to the deterministic allow-list vec_id % 3 == 1, and
+    # 'fsrp' recall rows measure the SRP path under the SAME filter
+    # against the filtered exact — r=max(bits) must read 1.0
+    allowed = emb.filter("vec_id % 3 = 1").select("vec_id")
+    fex = _limit_rank(
+        SIM.cosine_topk(rest, q, ANN_K, allowed=allowed)
+        .select("id", F.round("cosine", 6).alias("cosine")),
+        [F.desc("cosine"), F.asc("id")],
+        ANN_K,
+    )
+    rows.append(
+        fex.select(
+            F.lit("fexact_id").alias("method"),
+            F.col("rank").cast("int").alias("param"),
+            F.col("id").cast("double").alias("recall"),
+        )
+    )
+    rows.append(
+        fex.select(
+            F.lit("fexact_cos").alias("method"),
+            F.col("rank").cast("int").alias("param"),
+            F.col("cosine").alias("recall"),
+        )
+    )
+    fexact_ids = [r["id"] for r in fex.select("id").collect()]
+    for r in (0, ANN_LSH_BITS):
+        fsrp = _limit_rank(
+            SIM.srp_lsh_topk(
+                rest, q, ANN_K + 32, dim=64, bits=ANN_LSH_BITS,
+                probe_hamming=r, allowed=allowed,
+            ).select("id", F.round("cosine", 6).alias("cosine")),
+            [F.desc("cosine"), F.asc("id")],
+            ANN_K,
+        ).select("id")
+        rows.append(
+            fsrp.filter(F.col("id").isin(fexact_ids))
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit("fsrp").alias("method"),
+                F.lit(r).cast("int").alias("param"),
+                F.round(F.col("hits") / float(ANN_K), 6).alias("recall"),
+            )
+        )
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
@@ -3996,10 +4043,36 @@ UNION ALL
 SELECT 'blend' AS method, combined_rank AS rank, id, norm_d AS aux_d,
        norm_s AS aux_s, combined AS score FROM ({oracles["score_combine"]})
 """
+    # filtered vector search (r05d): exact top-k over vec_id % 3 == 1
+    # + SRP recall under the same allow-list vs the filtered exact
+    fexact_ids = f"""
+WITH ev AS (SELECT vec_id, i, embedding[i]::double AS v
+            FROM embeddings, range(1, 65) t(i)),
+qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM qv),
+dots AS (SELECT ev.vec_id, sum(ev.v * qv.v) AS d, sum(ev.v * ev.v) AS n2
+         FROM ev JOIN qv USING (i)
+         WHERE ev.vec_id <> 0 AND ev.vec_id % 3 = 1 GROUP BY 1),
+cos AS (SELECT vec_id AS id, round(d / (sqrt(n2) * (SELECT n FROM qn)), 6) AS cosine
+        FROM dots)
+SELECT rank, id, cosine FROM (
+  SELECT row_number() OVER (ORDER BY cosine DESC, id)::int AS rank, id, cosine
+  FROM cos) WHERE rank <= {ANN_K}
+"""
+    fsrp_legs = " UNION ALL ".join(
+        f"SELECT 'fsrp' AS method, {r} AS param, "
+        f"round(count(*) / {ANN_K}.0, 6) AS recall "
+        f"FROM ({_srp_topk_sql(r, 'AND vec_id % 3 = 1')}) a "
+        f"JOIN ({fexact_ids}) e USING (id)"
+        for r in (0, ANN_LSH_BITS)
+    )
     oracles["ann_recall"] = (
         oracles["ann_recall"]
         + f" UNION ALL SELECT 'exact_id' AS method, rank AS param, id::double AS recall FROM ({exact_ids})"
         + f" UNION ALL SELECT 'exact_cos' AS method, rank AS param, cosine AS recall FROM ({exact_ids})"
+        + f" UNION ALL SELECT 'fexact_id' AS method, rank AS param, id::double AS recall FROM ({fexact_ids})"
+        + f" UNION ALL SELECT 'fexact_cos' AS method, rank AS param, cosine AS recall FROM ({fexact_ids})"
+        + " UNION ALL " + fsrp_legs
     )
     oracles["multimodal_meta_real"] = f"""
 SELECT m.id, m.media_type, m.width, m.height, m.n_frames,

@@ -133,6 +133,10 @@ def main() -> None:
     memb = emb.limit(300).cache()
     memb.count()
     D.embedding_neardup_lsh_pairs(memb, dim=64, threshold=0.9, bits=8).count()
+    _wqv = [float(x) for x in memb.first()["embedding"]]
+    SIM.cosine_topk(
+        memb, _wqv, 3, allowed=BQ.matches(wi, "warm").select("doc_id")
+    ).collect()
     wqv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     SIM.cosine_scores(memb, wqv).orderBy(F.desc("cosine")).limit(3).collect()
     TS.quality_scores(mini, "text", "doc_id").count()
@@ -391,6 +395,15 @@ def main() -> None:
             .limit(10)
             .collect()
         ),
+    )
+    # filtered vector search (r05d, ES knn+filter): boolean match set
+    # as the allow-list, pre-filter semi-join before the scorer
+    bench(
+        "ann_filtered_topk",
+        lambda: SIM.cosine_topk(
+            emb, qv, 10,
+            allowed=BQ.matches(idx, "fast AND NOT merge").select("doc_id"),
+        ).collect(),
     )
     # persisted-ANN query latency: index build is UNTIMED (one-time
     # cost); the timed region is the pruned-scan query path — what a

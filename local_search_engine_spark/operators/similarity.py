@@ -65,12 +65,33 @@ def cosine_scores(embeddings, query_vec, id_col: str = "vec_id", vec_col: str = 
     return v.select("id", _cosine_expr(query_vec).alias("cosine"))
 
 
-def cosine_topk(embeddings, query_vec, k: int, id_col: str = "vec_id", vec_col: str = "embedding", exclude_id=None):
-    """Exact top-k by cosine, tie-break (cosine DESC, id ASC)."""
+def _apply_allowed(embeddings, allowed, id_col: str):
+    """Filtered vector search, PRE-filter semantics (Elasticsearch
+    `knn` + `filter`): semi-join the allow-list (any DataFrame whose
+    FIRST column is the id — e.g. a boolean match set from
+    boolquery.matches) onto the vectors BEFORE bucket pruning, scoring,
+    and the k-heap. Pre-filtering guarantees k results whenever the
+    filter admits ≥ k vectors; the post-filter alternative (top-k
+    first, filter after) silently returns fewer — the classic filtered-
+    ANN recall trap. The semi join is id-keyed (AQE picks broadcast
+    when the match set is small); no vector payload ever moves for
+    excluded rows."""
+    if allowed is None:
+        return embeddings
+    from pyspark.sql import functions as F
+
+    first = allowed.columns[0]
+    aid = allowed.select(F.col(first).cast("long").alias(id_col)).distinct()
+    return embeddings.join(aid, id_col, "left_semi")
+
+
+def cosine_topk(embeddings, query_vec, k: int, id_col: str = "vec_id", vec_col: str = "embedding", exclude_id=None, allowed=None):
+    """Exact top-k by cosine, tie-break (cosine DESC, id ASC).
+    allowed: optional allow-list DataFrame — see _apply_allowed."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    s = cosine_scores(embeddings, query_vec, id_col, vec_col)
+    s = cosine_scores(_apply_allowed(embeddings, allowed, id_col), query_vec, id_col, vec_col)
     if exclude_id is not None:
         s = s.filter(F.col("id") != exclude_id)
     top = s.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
@@ -249,6 +270,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed=None,
 ):
     """IVF-flat approximate top-k: probe the nprobe centroids nearest the
     query (driver-side — centroids are tiny), score ONLY vectors assigned
@@ -272,7 +294,7 @@ def ivf_topk(
         for i, c in enumerate(centroids)
     )
     probes = [i for _, i in dists[:nprobe]]
-    v = embeddings.select(
+    v = _apply_allowed(embeddings, allowed, id_col).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     cand = v.filter(_ivf_assign_expr(centroids).isin(probes))
@@ -618,6 +640,7 @@ def srp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 0,
+    allowed=None,
 ):
     """Approximate top-k: score only vectors whose SRP bucket is within
     `probe_hamming` bit-flips of the query's bucket — standard
@@ -640,7 +663,7 @@ def srp_lsh_topk(
 
     qbucket = query_bucket(query_vec, dim, bits)
     planes = srp_hyperplanes(dim, bits)
-    v = embeddings.select(
+    v = _apply_allowed(embeddings, allowed, id_col).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     cand = v.filter(

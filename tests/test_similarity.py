@@ -260,3 +260,76 @@ def test_ivf_empty_cluster_keeps_seed(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = SIM.ivf_train_centroids(df, 3, 4, iters=2)
     assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+
+
+def test_filtered_vector_search(spark):
+    """allowed= pre-filter (ES knn + filter): the filtered exact top-k
+    equals brute force over the allow-list only; approximate paths stay
+    inside the allow-list and degenerate to the filtered exact result
+    at max probes; a filter admitting m < k vectors yields exactly m
+    rows (the pre-filter guarantee post-filtering cannot give)."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark).cache()
+    q = _qvec(spark)
+    k = 10
+    allowed = emb.filter("vec_id % 3 = 1").select(F.col("vec_id").alias("doc_id"))
+    got = [
+        (r["rank"], r["id"], r["cosine"])
+        for r in SIM.cosine_topk(emb, q, k, allowed=allowed).collect()
+    ]
+    # brute force over the allow-list only
+    want_pool = [
+        (r["id"], r["cosine"])
+        for r in SIM.cosine_scores(emb.filter("vec_id % 3 = 1"), q).collect()
+    ]
+    want_pool.sort(key=lambda x: (-x[1], x[0]))
+    assert [(d, pytest_approx(c)) for _, d, c in got] == [
+        (d, pytest_approx(c)) for d, c in want_pool[:k]
+    ]
+    assert all(d % 3 == 1 for _, d, _ in got)
+
+    # IVF all-probe over the allow-list == filtered exact
+    cents = SIM.ivf_train_centroids(emb, 16, 64, iters=1)
+    ivf_all = [
+        r["id"]
+        for r in SIM.ivf_topk(emb, q, k, cents, nprobe=16, allowed=allowed).collect()
+    ]
+    assert ivf_all == [d for _, d, _ in got]
+    # SRP stays inside the allow-list at any radius
+    srp = SIM.srp_lsh_topk(
+        emb, q, k, dim=64, bits=4, probe_hamming=1, allowed=allowed
+    ).collect()
+    assert srp and all(r["id"] % 3 == 1 for r in srp)
+
+    # pre-filter guarantee: m=3 admitted -> exactly 3 rows, ranks 1..3
+    tiny = spark.createDataFrame([(1,), (4,), (7,)], "doc_id long")
+    got3 = SIM.cosine_topk(emb, q, k, allowed=tiny).collect()
+    assert sorted(r["id"] for r in got3) == [1, 4, 7]
+    assert [r["rank"] for r in got3] == [1, 2, 3] or sorted(
+        r["rank"] for r in got3
+    ) == [1, 2, 3]
+    emb.unpersist()
+
+
+def pytest_approx(x, nd=9):
+    return round(float(x), nd)
+
+
+def test_filtered_by_boolean_match_set(spark):
+    """End-to-end cross-modal filter: a boolean text query's match set
+    (doc_id space) restricts the vector search (vec_id space, same ids
+    in the driver testdata) — every returned vector's doc satisfies the
+    boolean query."""
+    from local_search_engine_spark.operators import boolquery as bq
+    from local_search_engine_spark.operators.build import build_index_from
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    idx = build_index_from(docs, text_col="text")
+    allowed = bq.matches(idx, "fast AND NOT merge").select("doc_id")
+    allowed_ids = {r["doc_id"] for r in allowed.collect()}
+    assert allowed_ids  # non-vacuous fixture query
+    emb = _emb(spark)
+    q = _qvec(spark)
+    got = SIM.cosine_topk(emb, q, 10, allowed=allowed).collect()
+    assert got and {r["id"] for r in got} <= allowed_ids
