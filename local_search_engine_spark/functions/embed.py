@@ -34,15 +34,25 @@ def stub_encoder_factory(dim: int = DEFAULT_DIM):
 
     import numpy as np
 
+    # per-component suffixes precomputed once per encoder; md5 state of
+    # the shared "<hexdigest>:" prefix is hashed once per text and
+    # .copy()'d per component — bit-identical to md5(f"{key}:{d}")
+    # (md5 is a pure stream hash), int.from_bytes(digest[:4]) is the
+    # first 8 hex chars, and h * 2^-31 == h / 2^31 exactly (power-of-two
+    # scale). Same floats, ~2x fewer Python-level hash round-trips.
+    suffixes = [str(d).encode("ascii") for d in range(dim)]
+    scale = 1.0 / 2147483648.0
+
     def encode(texts):
         out = np.empty((len(texts), dim), dtype=np.float64)
         for i, t in enumerate(texts):
             key = hashlib.md5(t.encode("utf-8")).hexdigest()
+            base = hashlib.md5((key + ":").encode("ascii"))
+            row = out[i]
             for d in range(dim):
-                h = int(
-                    hashlib.md5(f"{key}:{d}".encode("utf-8")).hexdigest()[:8], 16
-                )
-                out[i, d] = h / 2147483648.0 - 1.0
+                m = base.copy()
+                m.update(suffixes[d])
+                row[d] = int.from_bytes(m.digest()[:4], "big") * scale - 1.0
         return out
 
     return encode

@@ -129,6 +129,26 @@ def np_simhash_pack(hh, bits: int):
     )
 
 
+def np_simhash_pack_weighted(hh, weights, bits: int):
+    """Tf-weighted majority-vote pack over DISTINCT term hashes:
+    bit_j = 1 iff 2 · Σ_t w_t · bit_j(h_t) > Σ_t w_t. With w_t = tf of
+    term t this is EXACTLY np_simhash_pack over the raw occurrence
+    stream (summing a term's ±1 votes tf times ≡ one tf-weighted vote;
+    all-integer arithmetic, so no float-order concerns) — asserted in
+    tests/test_dedup.py. Hashing per distinct term instead of per
+    occurrence is what makes the text kernel linear in vocabulary, not
+    corpus length."""
+    import numpy as np
+
+    arr = np.asarray(hh, dtype=np.int64)
+    w = np.asarray(weights, dtype=np.int64)
+    shifts = np.arange(bits, dtype=np.int64)
+    ones = (((arr[:, None] >> shifts) & 1) * w[:, None]).sum(axis=0)
+    return int(
+        ((2 * ones > w.sum()).astype(np.int64) << shifts).sum()
+    )
+
+
 def minhash_sigs_udf():
     """Arrow-batched pandas UDF: array<long> h32 shingle hashes ->
     array<long> N_PERMS MinHash signature. The W1-pattern vectorized
@@ -145,23 +165,54 @@ def minhash_sigs_udf():
     return pandas_udf(_kernel, "array<long>")
 
 
+# Worker-persistent h60 memo for the simhash text kernel: the corpus
+# token stream is Zipf-distributed, so hashing each DISTINCT term once
+# per worker (the module is shipped via addPyFile, so reused Python
+# workers keep this dict across tasks — guide §4.5 pattern) replaces
+# tens of millions of per-occurrence md5 calls with ~vocabulary-many.
+# Size-capped so a pathological unbounded vocabulary cannot exhaust
+# worker memory (past the cap terms are hashed without being stored).
+_H60_MEMO: dict = {}
+_H60_MEMO_MAX = 4_000_000
+
+
 def simhash_text_udf(bits: int):
     """Arrow-batched pandas UDF: text -> packed SimHash long (null for
-    token-less docs). tokenize_py + h60_py + np_simhash_pack in one
-    kernel pass — bit-identical to transform(tokenize_expr, h60_col)
-    fed through simhash_pack_udf (asserted in tests), but the whole
-    per-doc pipeline is evaluated exactly once per row."""
+    token-less docs). tokenize_py + per-distinct-term h60 + the
+    tf-weighted majority-vote pack in one kernel pass — bit-identical
+    to transform(tokenize_expr, h60_col) fed through simhash_pack_udf
+    (asserted in tests), but each distinct term is md5-hashed at most
+    once per worker and the pack is one (vocab, bits) numpy pass."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from .tokenize import tokenize_py
 
     def _kernel(s):
+        from collections import Counter
+        from hashlib import md5
+
+        import numpy as np
+
+        memo = _H60_MEMO
+
         def one(x):
             toks = tokenize_py(x) if x is not None else []
             if not toks:
                 return None
-            return np_simhash_pack([h60_py(t) for t in toks], bits)
+            cnt = Counter(toks)
+            hh = np.empty(len(cnt), dtype=np.int64)
+            w = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+            for i, t in enumerate(cnt):
+                h = memo.get(t)
+                if h is None:
+                    # first 15 hex chars == high 60 bits of the first 8
+                    # digest bytes (identical to h60_py, no hex parse)
+                    h = int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big") >> 4
+                    if len(memo) < _H60_MEMO_MAX:
+                        memo[t] = h
+                hh[i] = h
+            return np_simhash_pack_weighted(hh, w, bits)
 
         return s.map(one)
 

@@ -445,6 +445,16 @@ def build_index_fields(
     tf = blended.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tf"))
     if cache:
         tf = tf.cache()
+    else:
+        # the blended tf is consumed by FIVE downstream subtrees (doc_lens,
+        # the stats aggregate, doc_freqs→avg_idf, and the caller's scoring
+        # join references tf + idf + docs — each a full copy of this
+        # pipeline when uncached). Materialize it exactly ONCE with an
+        # eager localCheckpoint (guide §5: cheap lineage cut): unlike
+        # .cache() this never registers with the CacheManager, so a
+        # repeated cold build re-executes the whole pipeline instead of
+        # silently reusing a previous run's plan-equality cache entry.
+        tf = tf.localCheckpoint(eager=True)
     meta = docs_with_id
     if "content_sha256" not in meta.columns:
         # per-row invariant over the COMBINED content: fields joined by

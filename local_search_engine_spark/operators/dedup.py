@@ -887,10 +887,29 @@ def embedding_neardup_lsh_pairs(
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
+    # dim-unrolled codegen twin of the fold cosine (same left-assoc float
+    # order — bit-identical; see similarity._dot_lit): candidate pairs of
+    # the declared dim take the codegen'd branch, any length-mismatched
+    # row falls back to the original interpreted fold, so semantics are
+    # unchanged for every input
+    def _unrolled(ca, cb):
+        acc_d, acc_a, acc_b = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+        for i in range(dim):
+            xa, xb = F.get(ca, i), F.get(cb, i)
+            acc_d = acc_d + xa * xb
+            acc_a = acc_a + xa * xa
+            acc_b = acc_b + xb * xb
+        return acc_d / (F.sqrt(acc_a) * F.sqrt(acc_b))
+
+    cos_fast = _unrolled(F.col("va"), F.col("vb"))
+    cos_fold = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    cosine = F.when(
+        (F.size("va") == dim) & (F.size("vb") == dim), cos_fast
+    ).otherwise(cos_fold)
     return (
         cand.join(va, "a")
         .join(vb, "b")
-        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -47,12 +47,59 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def _cosine_expr(query_vec):
-    """Column expr: cosine(F.col("v"), literal query vector)."""
+def _dot_lit(vcol, weights):
+    """Dot of an array column against DRIVER-KNOWN literal weights,
+    unrolled into a plain left-associative Add chain:
+    ((0.0 + v[0]·w0) + v[1]·w1) + … — the exact float addition order of
+    the aggregate/zip_with fold (bit-identical results), but a codegen'd
+    expression instead of an INTERPRETED higher-order function (lambda
+    functions never enter whole-stage codegen; at 8 planes × 64 dims the
+    interpreted eval dominated the SRP bucket scan). F.get returns null
+    past the end, so a too-short vector yields null exactly like the
+    null-padding zip_with."""
     from pyspark.sql import functions as F
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return _dot(F.col("v"), qcol) / (_norm(F.col("v")) * _norm(qcol))
+    acc = F.lit(0.0)
+    for i, w in enumerate(weights):
+        acc = acc + F.get(vcol, i) * F.lit(float(w))
+    return acc
+
+
+def _sq_norm_unrolled(vcol, dim: int):
+    """sqrt of the unrolled left-associative sum of squares over the
+    first `dim` positions — same order as the _norm fold."""
+    from pyspark.sql import functions as F
+
+    acc = F.lit(0.0)
+    for i in range(dim):
+        x = F.get(vcol, i)
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
+def _cosine_expr(query_vec):
+    """Column expr: cosine(F.col("v"), literal query vector).
+
+    The query norm is folded driver-side (Python float arithmetic is the
+    same IEEE-754 double chain as the Catalyst fold it replaces), the
+    row-vector dot/norm are unrolled codegen chains (_dot_lit), and a
+    size guard reproduces the zip_with null semantics: any row whose
+    vector length differs from the query's yields null, exactly as the
+    null-padded fold did."""
+    from pyspark.sql import functions as F
+
+    import math
+
+    q = [float(x) for x in query_vec]
+    acc = 0.0
+    for x in q:
+        acc += x * x
+    qn = math.sqrt(acc)  # correctly-rounded IEEE sqrt, same as JVM Math.sqrt
+    v = F.col("v")
+    cos = _dot_lit(v, q) / (_sq_norm_unrolled(v, len(q)) * F.lit(qn))
+    return F.when(F.size(v) == len(q), cos).otherwise(
+        F.lit(None).cast("double")
+    )
 
 
 def cosine_scores(embeddings, query_vec, id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -144,15 +191,22 @@ def srp_hyperplanes(dim: int, bits: int = SRP_BITS) -> list[list[float]]:
 
 def _srp_bucket_expr(planes):
     """Column expr: SRP bucket of F.col("v") — bit j = 1 iff
-    dot(v, plane_j) > 0. Pure built-in expressions."""
+    dot(v, plane_j) > 0. Unrolled codegen dot chains (_dot_lit, same
+    float order as the old interpreted zip_with fold — bit-identical);
+    the size guard reproduces the fold's null semantics, where any
+    length-mismatched vector nulled every dot and bucketed to 0."""
     from pyspark.sql import functions as F
 
+    dim = len(planes[0]) if planes else 0
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        pcol = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(F.col("v"), pcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit = F.when(_dot_lit(F.col("v"), plane) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
         bucket = bucket + bit.cast("long")
-    return bucket
+    return F.when(F.size(F.col("v")) == dim, bucket).otherwise(
+        F.lit(0).cast("long")
+    )
 
 
 def srp_lsh_buckets(embeddings, dim: int, bits: int = SRP_BITS, id_col: str = "vec_id", vec_col: str = "embedding"):

@@ -92,6 +92,18 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
             qw = {t: float(c) for t, c in qtf.items()}
 
             posts_pdf = posts_pdf.sort_values(["block_id", "term"])
+            # columnar extraction ONCE per shard, then pure numpy block
+            # slicing — the pandas groupby/itertuples machinery cost more
+            # per (small) shard group than the decode+score work itself
+            # (guide §4.2: hand whole batches to vectorized code). Float
+            # arithmetic order is unchanged everywhere (same elementwise
+            # products, same np pairwise sums) — bit-identical results
+            # (test_wand).
+            bid_a = posts_pdf["block_id"].to_numpy(np.int64)
+            term_a = posts_pdf["term"].to_numpy()
+            dvb_a = posts_pdf["doc_ids_vb"].to_numpy()
+            tvb_a = posts_pdf["tfs_vb"].to_numpy()
+            idf_a = posts_pdf["idf"].to_numpy(np.float64)
             # per-block upper bound derived from the idf-free metadata:
             # idf⁺ · qtf · (k1+1)·max_tf / (max_tf + k1·(1−b+b·min_dl/avgdl))
             # — true bound (BM25 contribution increases in tf, decreases
@@ -100,10 +112,10 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
             # (negative floored idf is legal when avg_idf < 0)
             _mt = posts_pdf["block_max_tf"].to_numpy(np.float64)
             _md = posts_pdf["block_min_dl"].to_numpy(np.float64)
-            _idfp = posts_pdf["idf"].clip(lower=0.0).to_numpy(np.float64)
-            _qwv = posts_pdf["term"].map(qw).to_numpy(np.float64)
-            posts_pdf = posts_pdf.assign(
-                _ub=_idfp
+            _idfp = np.maximum(idf_a, 0.0)
+            _qwv = np.array([qw[t] for t in term_a], dtype=np.float64)
+            _ub = (
+                _idfp
                 * _qwv
                 * _mt
                 * (k1 + 1.0)
@@ -121,20 +133,24 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
             topk_d = np.empty(0, dtype=np.int64)
             theta = -np.inf
 
-            for bid, grp in posts_pdf.groupby("block_id", sort=True):
+            starts = np.flatnonzero(
+                np.concatenate(([True], bid_a[1:] != bid_a[:-1]))
+            )
+            ends = np.append(starts[1:], bid_a.size)
+            for s_i, e_i in zip(starts, ends):
                 if prune and topk_s.size == k:
-                    ub = float(grp["_ub"].sum())
+                    ub = float(_ub[s_i:e_i].sum())
                     if ub <= theta:
                         continue  # window cannot beat the k-th best
-                base = int(bid) * span
-                for row in grp.itertuples(index=False):
-                    d, tf = decode_block(row.doc_ids_vb, row.tfs_vb, base)
+                base = int(bid_a[s_i]) * span
+                for i in range(s_i, e_i):
+                    d, tf = decode_block(dvb_a[i], tvb_a[i], base)
                     off = d - first_doc
                     dl = doc_lens[off]
                     tfd = tf.astype(np.float64)
                     contrib = (
-                        float(row.idf)
-                        * qw[row.term]
+                        idf_a[i]
+                        * _qwv[i]
                         * tfd
                         * (k1 + 1.0)
                         / (tfd + k1 * (1.0 - b_ + b_ * dl / avgdl))
@@ -229,44 +245,68 @@ def make_wand_topk(index, postings, shard_meta, block_span: int | None = None, n
             first_doc = int(meta_pdf["first_doc_id"].iloc[0])
             doc_lens = unpack_i32(meta_pdf["doc_lens"].iloc[0]).astype(np.float64)
             posts_pdf = posts_pdf.sort_values(["block_id", "term"])
+            # columnar extraction once per shard (see score_fn) + a term
+            # factorization so each query's row subset is an int-code
+            # isin, not a per-query string isin over the whole shard
+            bid_a = posts_pdf["block_id"].to_numpy(np.int64)
+            dvb_a = posts_pdf["doc_ids_vb"].to_numpy()
+            tvb_a = posts_pdf["tfs_vb"].to_numpy()
+            idf_a = posts_pdf["idf"].to_numpy(np.float64)
+            codes, uniques = pd.factorize(posts_pdf["term"])
+            term_list = list(uniques)
             # query-independent part of the block bound (see score_fn) —
             # computed once per shard, scaled by each query's qtf below
             _mt = posts_pdf["block_max_tf"].to_numpy(np.float64)
             _md = posts_pdf["block_min_dl"].to_numpy(np.float64)
-            _idfp = posts_pdf["idf"].clip(lower=0.0).to_numpy(np.float64)
-            posts_pdf = posts_pdf.assign(
-                _ub1=_idfp
+            _idfp = np.maximum(idf_a, 0.0)
+            _ub1 = (
+                _idfp
                 * _mt
                 * (k1 + 1.0)
                 / (_mt + k1 * (1.0 - b_ + b_ * _md / avgdl))
             )
             out_q, out_d, out_s = [], [], []
             for qid, qtf, k in qspecs:
-                qterms = set(qtf)
-                sub = posts_pdf[posts_pdf["term"].isin(qterms)]
-                if sub.empty:
+                pres = np.array(
+                    [ci for ci, t in enumerate(term_list) if t in qtf],
+                    dtype=np.int64,
+                )
+                if pres.size == 0:
                     continue
-                qw = {t: float(c) for t, c in qtf.items()}
+                idxs = np.flatnonzero(np.isin(codes, pres))
+                if idxs.size == 0:
+                    continue
+                qw_vals = np.array(
+                    [float(qtf[term_list[codes[i]]]) for i in idxs],
+                    dtype=np.float64,
+                )
+                ub_vals = _ub1[idxs] * qw_vals
+                sub_bid = bid_a[idxs]
                 scores = np.zeros(doc_lens.size, dtype=np.float64)
                 touched = np.zeros(doc_lens.size, dtype=bool)
                 # vectorized window merge — same scheme as score_fn
                 topk_s = np.empty(0, dtype=np.float64)
                 topk_d = np.empty(0, dtype=np.int64)
                 theta = -np.inf
-                for bid, grp in sub.groupby("block_id", sort=True):
+                starts = np.flatnonzero(
+                    np.concatenate(([True], sub_bid[1:] != sub_bid[:-1]))
+                )
+                ends = np.append(starts[1:], sub_bid.size)
+                for s_i, e_i in zip(starts, ends):
                     if prune and topk_s.size == k:
-                        ub = float((grp["_ub1"] * grp["term"].map(qw)).sum())
+                        ub = float(ub_vals[s_i:e_i].sum())
                         if ub <= theta:
                             continue
-                    base = int(bid) * span
-                    for row in grp.itertuples(index=False):
-                        d, tf = decode_block(row.doc_ids_vb, row.tfs_vb, base)
+                    base = int(sub_bid[s_i]) * span
+                    for j in range(s_i, e_i):
+                        i = idxs[j]
+                        d, tf = decode_block(dvb_a[i], tvb_a[i], base)
                         off = d - first_doc
                         dl = doc_lens[off]
                         tfd = tf.astype(np.float64)
                         contrib = (
-                            float(row.idf)
-                            * qw[row.term]
+                            idf_a[i]
+                            * qw_vals[j]
                             * tfd
                             * (k1 + 1.0)
                             / (tfd + k1 * (1.0 - b_ + b_ * dl / avgdl))

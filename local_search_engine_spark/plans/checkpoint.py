@@ -116,7 +116,7 @@ def build_persisted_index(
     from pyspark.sql import functions as F
 
     from ..functions.codec import DEFAULT_BLOCK_SPAN
-    from ..operators.build import BM25Params, build_index, build_index_from
+    from ..operators.build import BM25Params, build_index_from
     from ..operators.postings import build_postings
 
     params = params or BM25Params()
@@ -135,10 +135,55 @@ def build_persisted_index(
         man.mark(unit, fpr, run_id, wall_ms=int((time.time() - t0) * 1000), **metrics)
         return True
 
+    # Identity (doc_id + content_sha256) is computable WITHOUT tokenizing
+    # — and group fingerprints depend on nothing else — so resolve ids
+    # first and probe the manifest before constructing the index: an
+    # unchanged corpus (every unit a hit) must not pay the full
+    # tokenize+tf build just to discover there is nothing to do. This is
+    # the cmd_search query path's per-invocation resume check.
+    from ..operators.build import with_doc_ids
+
     if pre_identified:
-        idx = build_index_from(corpus, text_col=text_col, params=params, cache=True)
+        ids_df = corpus
+        if "content_sha256" not in ids_df.columns:
+            ids_df = ids_df.withColumn(
+                "content_sha256", F.sha2(F.col(text_col), 256)
+            )
     else:
-        idx = build_index(corpus, params=params, cache=True)
+        ids_df = with_doc_ids(corpus)
+
+    layout = (
+        f"dps={docs_per_shard};span={span};nb={n_buckets};ng={n_groups};"
+        "analyzer=default"
+    )
+    gfp: dict[int, str] = {}
+    for r in (
+        ids_df.select(
+            F.pmod(
+                (F.col("doc_id") / F.lit(docs_per_shard)).cast("long"),
+                F.lit(n_groups),
+            ).alias("g"),
+            "doc_id",
+            "content_sha256",
+        )
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id, content_sha256))").alias("h"),
+        )
+        .collect()
+    ):
+        gfp[int(r["g"])] = f"n={r['n']};h={r['h']};{layout}"
+    for g in range(n_groups):
+        gfp.setdefault(g, f"n=0;h=0;{layout}")
+
+    group_ids = list(only_groups) if only_groups is not None else list(range(n_groups))
+    if all(man.done(u, fp) for u in ("docs", "tf", "idf", "shard_meta")) and all(
+        man.done(f"postings/group={g}", gfp[g]) for g in group_ids
+    ):
+        return man
+
+    idx = build_index_from(ids_df, text_col=text_col, params=params, cache=True)
 
     def write_docs():
         idx.docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
@@ -215,37 +260,10 @@ def build_persisted_index(
     # build_index_from) is ever threaded through here, the identifier
     # must change with it and every group fingerprint auto-invalidates —
     # without this, switching analyzers would silently reuse stale
-    # postings groups (r03 ADVICE).
-    layout = (
-        f"dps={docs_per_shard};span={span};nb={n_buckets};ng={n_groups};"
-        "analyzer=default"
-    )
-    gfp: dict[int, str] = {}
-    for r in (
-        idx.docs.select(
-            F.pmod(
-                (F.col("doc_id") / F.lit(docs_per_shard)).cast("long"),
-                F.lit(n_groups),
-            ).alias("g"),
-            "doc_id",
-            "content_sha256",
-        )
-        .groupBy("g")
-        .agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(doc_id, content_sha256))").alias("h"),
-        )
-        .collect()
-    ):
-        gfp[int(r["g"])] = f"n={r['n']};h={r['h']};{layout}"
-    for g in range(n_groups):
-        gfp.setdefault(g, f"n=0;h=0;{layout}")
-
-    groups = [
-        g
-        for g in (only_groups if only_groups is not None else range(n_groups))
-        if not man.done(f"postings/group={g}", gfp[g])
-    ]
+    # postings groups (r03 ADVICE). Group fingerprints were computed
+    # up-front (from the tokenize-free id projection) for the resume
+    # probe; the values are identical to the old idx.docs derivation.
+    groups = [g for g in group_ids if not man.done(f"postings/group={g}", gfp[g])]
     group_rows: dict[int, int] = {}
     if groups:
         # materialize the encode stage once; group writes just filter it
