@@ -90,6 +90,8 @@ def embed_docs(
                 {id_col: pdf[id_col], out_col: list(map(list, vecs))}
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from ..plans.layout import widen_for_kernel
+
+    return widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         gen, f"{id_col} long, {out_col} array<double>"
     )

@@ -38,20 +38,19 @@ import zlib
 
 
 def _escape_pdf_string(raw: bytes) -> bytes:
-    out = bytearray()
-    specials = {
-        0x5C: b"\\\\",  # backslash
-        0x28: b"\\(",
-        0x29: b"\\)",
-        0x0A: b"\\n",
-        0x0D: b"\\r",
-        0x09: b"\\t",
-        0x08: b"\\b",
-        0x0C: b"\\f",
-    }
-    for byte in raw:
-        out += specials.get(byte, bytes([byte]))
-    return bytes(out)
+    # chained C-level replaces (backslash FIRST so later escapes aren't
+    # double-escaped) — byte-identical to the per-byte table walk it
+    # replaces, without a Python-level loop per byte
+    return (
+        raw.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        .replace(b"\n", b"\\n")
+        .replace(b"\r", b"\\r")
+        .replace(b"\t", b"\\t")
+        .replace(b"\x08", b"\\b")
+        .replace(b"\x0c", b"\\f")
+    )
 
 
 def _page_content(page_text: str) -> bytes:
@@ -269,24 +268,42 @@ def _page_order(objs) -> list[int]:
 
 _OCTAL = re.compile(rb"[0-7]{1,3}")
 
+# span-jump patterns for the content-stream scanner: each one reproduces
+# the continuation character set of the branch it replaces EXACTLY (note
+# the deliberate asymmetries of the original loops: \x00/\x0c terminate
+# neither names nor numbers, \x0c does not terminate operators)
+_WS_RUN = re.compile(rb"[ \t\r\n\x00\x0c]+")
+_EOL_RUN = re.compile(rb"[^\r\n]*")
+_NAME_RUN = re.compile(rb"[^ \t\r\n()<>\[\]{}/%]*")
+_NUM_RUN = re.compile(rb"[+\-.0-9eE]*")
+_OP_RUN = re.compile(rb"[^ \t\r\n\x00()<>\[\]{}/%]*")
+_STR_SPECIAL = re.compile(rb"[\\()]")
+
 
 def _tokens(data: bytes):
     """Content-stream tokens: ('str', bytes) | ('op', bytes). Numbers,
     names and array brackets are skipped — only strings and operators
-    drive text assembly."""
+    drive text assembly. Scanning jumps whole spans with compiled
+    regexes instead of stepping byte-by-byte (a bytes allocation per
+    character); token boundaries and output are identical."""
     i, n = 0, len(data)
     while i < n:
         c = data[i : i + 1]
         if c in b" \t\r\n\x00\x0c":
-            i += 1
+            i = _WS_RUN.match(data, i).end()
         elif c == b"%":  # comment to EOL
-            j = i
-            while j < n and data[j : j + 1] not in b"\r\n":
-                j += 1
-            i = j
+            i = _EOL_RUN.match(data, i + 1).end()
         elif c == b"(":
             out, depth, i = bytearray(), 1, i + 1
             while i < n and depth:
+                m = _STR_SPECIAL.search(data, i)
+                if m is None:
+                    out += data[i:n]
+                    i = n
+                    break
+                if m.start() > i:
+                    out += data[i : m.start()]
+                    i = m.start()
                 ch = data[i : i + 1]
                 if ch == b"\\":
                     esc = data[i + 1 : i + 2]
@@ -320,8 +337,6 @@ def _tokens(data: bytes):
                             break
                     out += ch
                     i += 1
-            else:
-                i = n
             yield ("str", bytes(out))
         elif c == b"<":
             if data[i + 1 : i + 2] == b"<":
@@ -340,21 +355,13 @@ def _tokens(data: bytes):
         elif c == b">":
             i += 2 if data[i + 1 : i + 2] == b">" else 1
         elif c == b"/":
-            j = i + 1
-            while j < n and data[j : j + 1] not in b" \t\r\n()<>[]{}/%":
-                j += 1
-            i = j
+            i = _NAME_RUN.match(data, i + 1).end()
         elif c in b"[]{}":
             i += 1
         elif c in b"+-.0123456789":
-            j = i + 1
-            while j < n and data[j : j + 1] in b"+-.0123456789eE":
-                j += 1
-            i = j
+            i = _NUM_RUN.match(data, i + 1).end()
         else:
-            j = i + 1
-            while j < n and data[j : j + 1] not in b" \t\r\n\x00()<>[]{}/%":
-                j += 1
+            j = _OP_RUN.match(data, i + 1).end()
             yield ("op", data[i:j])
             i = j
 

@@ -202,7 +202,9 @@ def chunk_docs_separators(
                     out["chunk_text"].append(text[s:e])
             yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from ..plans.layout import widen_for_kernel
+
+    return widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         gen,
         "doc_id long, chunk_id int, start_char long, end_char long, chunk_text string",
     )

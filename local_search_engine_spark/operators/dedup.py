@@ -306,8 +306,13 @@ def doc_shingle_sets(
     from pyspark.sql import functions as F
 
     if impl == "pandas":
-        return docs.select(
-            F.col(id_col).alias("doc_id"),
+        from ..plans.layout import widen_for_kernel
+
+        narrow = widen_for_kernel(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        )
+        return narrow.select(
+            "doc_id",
             _shingles_pandas_udf(n)(F.col(text_col)).alias("shingles"),
         )
 
@@ -720,9 +725,13 @@ def simhash_signatures(
 
     if impl == "pandas":
         from ..functions.hashing import simhash_text_udf
+        from ..plans.layout import widen_for_kernel
 
-        return docs.select(
-            F.col(id_col).alias("doc_id"),
+        narrow = widen_for_kernel(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        )
+        return narrow.select(
+            "doc_id",
             simhash_text_udf(SIMHASH_BITS)(F.col(text_col)).alias("simhash"),
         ).filter(F.col("simhash").isNotNull())
 
@@ -745,6 +754,65 @@ def simhash_signatures(
         )
         packed = bit if packed is None else packed + bit
     return base.select("doc_id", packed.alias("simhash"))
+
+
+def _simhash_bucket_pairs_udf(max_hamming: int):
+    """Arrow-batched numpy twin of the in-array simhash pair generator
+    for BIG buckets: given a bucket's parallel (doc_id, simhash) arrays,
+    emit every i<j pair with popcount(xor) <= max_hamming as
+    array<struct<a,b,hamming>>. Pair set and values are identical to the
+    expression path (integer xor + table popcount == bit_count; sorting
+    by the unique doc_id reproduces array_sort's struct order). Blocked
+    so a B-doc bucket never materializes more than ~block x n xor cells
+    at once."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    block = 512
+
+    def _pc(x):
+        x = np.ascontiguousarray(x, dtype=np.int64)
+        return pop8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1, dtype=np.int64)
+
+    def _kernel(ds, ss):
+        def one(d_arr, s_arr):
+            d = np.asarray(d_arr, dtype=np.int64)
+            s = np.asarray(s_arr, dtype=np.int64)
+            order = np.argsort(d, kind="stable")
+            d, s = d[order], s[order]
+            n = d.size
+            out = []
+            for i0 in range(0, n, block):
+                i1 = min(i0 + block, n)
+                iu, ju = np.triu_indices(i1 - i0, k=1)
+                if iu.size:
+                    pc = _pc(s[i0 + iu] ^ s[i0 + ju])
+                    m = pc <= max_hamming
+                    out.extend(
+                        {"a": int(a), "b": int(b), "hamming": int(h)}
+                        for a, b, h in zip(
+                            d[i0 + iu[m]], d[i0 + ju[m]], pc[m]
+                        )
+                    )
+                if i1 < n:
+                    x = s[i0:i1, None] ^ s[None, i1:]
+                    pc = _pc(x.ravel()).reshape(x.shape)
+                    bi, tj = np.nonzero(pc <= max_hamming)
+                    out.extend(
+                        {"a": int(d[i0 + a]), "b": int(d[i1 + b]),
+                         "hamming": int(pc[a, b])}
+                        for a, b in zip(bi, tj)
+                    )
+            return out
+
+        return pd.Series([one(d, s) for d, s in zip(ds, ss)])
+
+    _kernel.__annotations__ = {
+        "ds": pd.Series, "ss": pd.Series, "return": pd.Series
+    }
+    return pandas_udf(_kernel, "array<struct<a:long,b:long,hamming:int>>")
 
 
 def simhash_pairs(
@@ -796,7 +864,15 @@ def simhash_pairs(
     grouped = banded.groupBy("band", "band_val").agg(F.collect_list("ds").alias("ids"))
     # i<j pair gen + popcount verify inside the bucket array: doc_id is
     # unique so array_sort's (doc_id, simhash) lexicographic order is a
-    # pure doc_id order and a < b holds by construction
+    # pure doc_id order and a < b holds by construction. SMALL buckets
+    # stay on the in-array expression path; buckets past the threshold
+    # (band-collision families — C(n,2) popcounts in ONE task, the
+    # measured dominant cost at 50k docs where a single 2k-doc bucket is
+    # 2.3M interpreted struct evals) go through a blocked numpy kernel
+    # (_simhash_bucket_pairs_udf) producing the identical pair set.
+    big_threshold = 64
+    small = grouped.filter(F.size("ids") <= big_threshold)
+    big = grouped.filter(F.size("ids") > big_threshold)
     ids_s = F.array_sort(F.col("ids"))
     verified = F.filter(
         F.flatten(
@@ -816,11 +892,22 @@ def simhash_pairs(
         ),
         lambda p: p["hamming"] <= F.lit(max_hamming),
     )
-    return (
-        grouped.select(F.explode(verified).alias("p"))
-        .select("p.a", "p.b", "p.hamming")
-        .distinct()
+    small_pairs = small.select(F.explode(verified).alias("p")).select(
+        "p.a", "p.b", "p.hamming"
     )
+    big_pairs = (
+        big.select(
+            F.transform("ids", lambda x: x["doc_id"]).alias("d"),
+            F.transform("ids", lambda x: x["simhash"]).alias("s"),
+        )
+        .select(
+            F.explode(
+                _simhash_bucket_pairs_udf(max_hamming)(F.col("d"), F.col("s"))
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.hamming")
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def embedding_neardup_lsh_pairs(
@@ -887,29 +974,10 @@ def embedding_neardup_lsh_pairs(
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    # dim-unrolled codegen twin of the fold cosine (same left-assoc float
-    # order — bit-identical; see similarity._dot_lit): candidate pairs of
-    # the declared dim take the codegen'd branch, any length-mismatched
-    # row falls back to the original interpreted fold, so semantics are
-    # unchanged for every input
-    def _unrolled(ca, cb):
-        acc_d, acc_a, acc_b = F.lit(0.0), F.lit(0.0), F.lit(0.0)
-        for i in range(dim):
-            xa, xb = F.get(ca, i), F.get(cb, i)
-            acc_d = acc_d + xa * xb
-            acc_a = acc_a + xa * xa
-            acc_b = acc_b + xb * xb
-        return acc_d / (F.sqrt(acc_a) * F.sqrt(acc_b))
-
-    cos_fast = _unrolled(F.col("va"), F.col("vb"))
-    cos_fold = dot / (norm(F.col("va")) * norm(F.col("vb")))
-    cosine = F.when(
-        (F.size("va") == dim) & (F.size("vb") == dim), cos_fast
-    ).otherwise(cos_fold)
     return (
         cand.join(va, "a")
         .join(vb, "b")
-        .withColumn("cosine", cosine)
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

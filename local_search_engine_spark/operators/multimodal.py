@@ -371,7 +371,9 @@ def synthesize_real_media(docs, text_col: str = "text", id_col: str = "doc_id"):
                 {"id": ids, "media_type": types, "payload": payloads}
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from ..plans.layout import widen_for_kernel
+
+    return widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         batches, "id long, media_type string, payload binary"
     )
 
@@ -407,7 +409,9 @@ def extract_metadata(media, decoder=None):
             out["size_bytes"] = pd.Series([len(bytes(p)) for p in pdf["payload"]], dtype="int64").values
             yield out
 
-    return media.mapInPandas(batches, MEDIA_SCHEMA)
+    from ..plans.layout import widen_for_kernel
+
+    return widen_for_kernel(media).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synthesize_pdf_media(docs, text_col: str = "text", id_col: str = "doc_id"):
@@ -432,7 +436,9 @@ def synthesize_pdf_media(docs, text_col: str = "text", id_col: str = "doc_id"):
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from ..plans.layout import widen_for_kernel
+
+    return widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         batches, "id long, payload binary"
     )
 
@@ -473,7 +479,11 @@ def pdf_extract(media, payload_col: str = "payload", id_col: str = "id"):
                 }
             )
 
-    return media.select(id_col, payload_col).mapInPandas(batches, PDF_TEXT_SCHEMA)
+    from ..plans.layout import widen_for_kernel
+
+    return widen_for_kernel(media.select(id_col, payload_col)).mapInPandas(
+        batches, PDF_TEXT_SCHEMA
+    )
 
 
 def pdf_to_text(
@@ -528,7 +538,9 @@ def pdf_to_text(
             out[ok_col] = oks
             yield out
 
-    return df.mapInPandas(batches, schema)
+    from ..plans.layout import widen_for_kernel
+
+    return widen_for_kernel(df).mapInPandas(batches, schema)
 
 
 def frame_sample(media_meta, every_n: int = 4):

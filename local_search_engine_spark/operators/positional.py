@@ -167,7 +167,9 @@ def build_positional_postings(
                 }
             )
 
-    per_posting = docs.select(id_col, text_col).mapInPandas(
+    from ..plans.layout import widen_for_kernel
+
+    per_posting = widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         extract, "doc_id long, term string, tf long, posting_pos_vb binary"
     )
     keyed = per_posting.withColumn(

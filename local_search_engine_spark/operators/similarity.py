@@ -47,59 +47,20 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def _dot_lit(vcol, weights):
-    """Dot of an array column against DRIVER-KNOWN literal weights,
-    unrolled into a plain left-associative Add chain:
-    ((0.0 + v[0]·w0) + v[1]·w1) + … — the exact float addition order of
-    the aggregate/zip_with fold (bit-identical results), but a codegen'd
-    expression instead of an INTERPRETED higher-order function (lambda
-    functions never enter whole-stage codegen; at 8 planes × 64 dims the
-    interpreted eval dominated the SRP bucket scan). F.get returns null
-    past the end, so a too-short vector yields null exactly like the
-    null-padding zip_with."""
-    from pyspark.sql import functions as F
-
-    acc = F.lit(0.0)
-    for i, w in enumerate(weights):
-        acc = acc + F.get(vcol, i) * F.lit(float(w))
-    return acc
-
-
-def _sq_norm_unrolled(vcol, dim: int):
-    """sqrt of the unrolled left-associative sum of squares over the
-    first `dim` positions — same order as the _norm fold."""
-    from pyspark.sql import functions as F
-
-    acc = F.lit(0.0)
-    for i in range(dim):
-        x = F.get(vcol, i)
-        acc = acc + x * x
-    return F.sqrt(acc)
-
-
 def _cosine_expr(query_vec):
     """Column expr: cosine(F.col("v"), literal query vector).
 
-    The query norm is folded driver-side (Python float arithmetic is the
-    same IEEE-754 double chain as the Catalyst fold it replaces), the
-    row-vector dot/norm are unrolled codegen chains (_dot_lit), and a
-    size guard reproduces the zip_with null semantics: any row whose
-    vector length differs from the query's yields null, exactly as the
-    null-padded fold did."""
+    Deliberately the interpreted aggregate/zip_with fold: an unrolled
+    64-term codegen Add chain was measured 2.3x SLOWER at sf1.0 —
+    janino emits one huge method that trips HotSpot's
+    DontCompileHugeMethods limit, so the "codegen'd" expression runs as
+    un-JIT-ed bytecode. The fold's per-element interpreter overhead is
+    the cheaper of the two; the true fast path for bulk cosine is
+    cosine_topk_pandas (numpy matmul)."""
     from pyspark.sql import functions as F
 
-    import math
-
-    q = [float(x) for x in query_vec]
-    acc = 0.0
-    for x in q:
-        acc += x * x
-    qn = math.sqrt(acc)  # correctly-rounded IEEE sqrt, same as JVM Math.sqrt
-    v = F.col("v")
-    cos = _dot_lit(v, q) / (_sq_norm_unrolled(v, len(q)) * F.lit(qn))
-    return F.when(F.size(v) == len(q), cos).otherwise(
-        F.lit(None).cast("double")
-    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return _dot(F.col("v"), qcol) / (_norm(F.col("v")) * _norm(qcol))
 
 
 def cosine_scores(embeddings, query_vec, id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -191,22 +152,56 @@ def srp_hyperplanes(dim: int, bits: int = SRP_BITS) -> list[list[float]]:
 
 def _srp_bucket_expr(planes):
     """Column expr: SRP bucket of F.col("v") — bit j = 1 iff
-    dot(v, plane_j) > 0. Unrolled codegen dot chains (_dot_lit, same
-    float order as the old interpreted zip_with fold — bit-identical);
-    the size guard reproduces the fold's null semantics, where any
-    length-mismatched vector nulled every dot and bucketed to 0."""
+    dot(v, plane_j) > 0. Pure built-in expressions (interpreted fold) —
+    kept as the reference twin of _srp_bucket_udf; an unrolled codegen
+    chain was tried and overflows janino's 64 KB method limit at
+    8 planes × 64 dims (codegen falls back to interpreted anyway)."""
     from pyspark.sql import functions as F
 
-    dim = len(planes[0]) if planes else 0
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        bit = F.when(_dot_lit(F.col("v"), plane) > 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
+        pcol = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(F.col("v"), pcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long")
-    return F.when(F.size(F.col("v")) == dim, bucket).otherwise(
-        F.lit(0).cast("long")
-    )
+    return bucket
+
+
+def _srp_bucket_udf(planes):
+    """Arrow-batched numpy twin of _srp_bucket_expr: one (batch, bits,
+    dim) broadcast multiply + np.add.accumulate along dim. ufunc
+    accumulate is STRICTLY sequential left-to-right, i.e. the exact
+    float addition order of the Catalyst fold (the fold's extra leading
+    `0.0 +` can only flip the sign of a zero dot, which `> 0` cannot
+    see) — bit-identical buckets, asserted in tests. Null/short/long
+    vectors bucket to 0 exactly like the null-padding zip_with fold."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (bits, dim)
+    bits, dim = P.shape
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def _kernel(vs):
+        n = len(vs)
+        out = np.zeros(n, dtype=np.int64)
+        arrs = vs.to_numpy()
+        ok = [
+            i
+            for i in range(n)
+            if arrs[i] is not None and len(arrs[i]) == dim
+        ]
+        if ok:
+            M = np.empty((len(ok), dim), dtype=np.float64)
+            for r, i in enumerate(ok):
+                M[r] = arrs[i]
+            prod = M[:, None, :] * P[None, :, :]
+            dots = np.add.accumulate(prod, axis=2)[:, :, -1]
+            out[ok] = ((dots > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+        return pd.Series(out)
+
+    _kernel.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(_kernel, "long")
 
 
 def srp_lsh_buckets(embeddings, dim: int, bits: int = SRP_BITS, id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -215,7 +210,7 @@ def srp_lsh_buckets(embeddings, dim: int, bits: int = SRP_BITS, id_col: str = "v
 
     planes = srp_hyperplanes(dim, bits)
     v = embeddings.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-    return v.select("id", _srp_bucket_expr(planes).alias("bucket"))
+    return v.select("id", _srp_bucket_udf(planes)(F.col("v")).alias("bucket"))
 
 
 def ivf_train_centroids(
@@ -637,7 +632,7 @@ def append_srp_index(
     v = new_embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    withb = v.withColumn("bucket", _srp_bucket_expr(planes))
+    withb = v.withColumn("bucket", _srp_bucket_udf(planes)(F.col("v")))
     withb.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(index_dir, "vectors")
     )
@@ -722,7 +717,7 @@ def srp_lsh_topk(
     )
     cand = v.filter(
         F.bit_count(
-            _srp_bucket_expr(planes).bitwiseXOR(F.lit(qbucket))
+            _srp_bucket_udf(planes)(F.col("v")).bitwiseXOR(F.lit(qbucket))
         ) <= probe_hamming
     )
     s = cand.select("id", _cosine_expr(query_vec).alias("cosine"))
@@ -769,7 +764,7 @@ def persist_srp_index(
     v = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    withb = v.withColumn("bucket", _srp_bucket_expr(planes))
+    withb = v.withColumn("bucket", _srp_bucket_udf(planes)(F.col("v")))
     withb.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(index_dir, "vectors")
     )

@@ -156,7 +156,9 @@ def percolate(
     spark = docs.sparkSession
     if not specs:
         return spark.createDataFrame([], _out_schema(docs, id_col))
-    return docs.select(id_col, text_col).mapInPandas(
+    from ..plans.layout import widen_for_kernel
+
+    return widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         _match_batches_fn(specs, text_col, id_col, tokenizer),
         _out_schema(docs, id_col),
     )
@@ -484,7 +486,9 @@ def percolate_bool(
     if not standing:
         return spark.createDataFrame([], out_schema)
     cols = [id_col, text_col, *field_cols]
-    return docs.select(*cols).mapInPandas(
+    from ..plans.layout import widen_for_kernel
+
+    return widen_for_kernel(docs.select(*cols)).mapInPandas(
         _bool_batches_fn(standing, leaves, text_col, id_col, field_cols, tokenizer),
         out_schema,
     )
