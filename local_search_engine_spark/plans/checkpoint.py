@@ -69,11 +69,18 @@ class Manifest:
                 f.write(json.dumps({"run_id": run_id, "unit": unit, **metrics}) + "\n")
 
 
-def corpus_fingerprint(corpus, params) -> str:
+def corpus_fingerprint(corpus, params, text_col: str | None = None):
     """Cheap-but-honest input lineage: row count + order-independent XOR
     of per-row key hashes + build params. One extra scan at build start.
     Keys on (repo, path, commit) for input_hint corpora; for
-    pre-identified tables the unique doc_id IS the key."""
+    pre-identified tables the unique doc_id IS the key.
+
+    With text_col set, returns (key_fp, content_fp) from the SAME single
+    scan: content_fp additionally XORs the row's content into the hash.
+    Because doc-id assignment is a deterministic function of the keys
+    and every stage/group fingerprint is a deterministic function of
+    (ids, content, layout params), an unchanged content_fp certifies a
+    completed build outright — the whole-resume fast path."""
     from pyspark.sql import functions as F
 
     key = (
@@ -81,11 +88,15 @@ def corpus_fingerprint(corpus, params) -> str:
         if "repo" in corpus.columns
         else "xxhash64(doc_id)"
     )
-    row = corpus.agg(
-        F.count("*").alias("n"),
-        F.expr(f"bit_xor({key})").alias("h"),
-    ).first()
-    return f"n={row['n']};h={row['h']};k1={params.k1};b={params.b};eps={params.epsilon}"
+    aggs = [F.count("*").alias("n"), F.expr(f"bit_xor({key})").alias("h")]
+    if text_col is not None:
+        ckey = key[:-1] + f", {text_col})"
+        aggs.append(F.expr(f"bit_xor({ckey})").alias("ch"))
+    row = corpus.agg(*aggs).first()
+    fp = f"n={row['n']};h={row['h']};k1={params.k1};b={params.b};eps={params.epsilon}"
+    if text_col is None:
+        return fp
+    return fp, f"{fp};ch={row['ch']}"
 
 
 def build_persisted_index(
@@ -124,7 +135,18 @@ def build_persisted_index(
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     run_id = uuid.uuid4().hex[:12]
-    fp = corpus_fingerprint(corpus, params)
+    fp, content_fp = corpus_fingerprint(corpus, params, text_col=text_col)
+    probe_layout = (
+        f"dps={docs_per_shard};span={span};nb={n_buckets};ng={n_groups};"
+        "analyzer=default"
+    )
+    probe_fp = f"{content_fp};{probe_layout}"
+    # whole-build fast path: a build previously COMPLETED over exactly
+    # this (keys, content, params, layout) — one scan-agg proves nothing
+    # changed, so skip even the id-assignment jobs. Partial builds
+    # (only_groups) never mark this unit.
+    if man.done("resume_probe", probe_fp):
+        return man
 
     def stage(unit: str, fn, fingerprint: str | None = None):
         fpr = fingerprint or fp
@@ -152,10 +174,7 @@ def build_persisted_index(
     else:
         ids_df = with_doc_ids(corpus)
 
-    layout = (
-        f"dps={docs_per_shard};span={span};nb={n_buckets};ng={n_groups};"
-        "analyzer=default"
-    )
+    layout = probe_layout
     gfp: dict[int, str] = {}
     for r in (
         ids_df.select(
@@ -181,6 +200,10 @@ def build_persisted_index(
     if all(man.done(u, fp) for u in ("docs", "tf", "idf", "shard_meta")) and all(
         man.done(f"postings/group={g}", gfp[g]) for g in group_ids
     ):
+        if only_groups is None:
+            # upgrade older manifests: certify the completed build so
+            # the next invocation takes the one-scan fast path
+            man.mark("resume_probe", probe_fp, run_id)
         return man
 
     idx = build_index_from(ids_df, text_col=text_col, params=params, cache=True)
@@ -302,6 +325,8 @@ def build_persisted_index(
     idx.docs.unpersist()
     idx.tf.unpersist()
     idx.idf.unpersist()
+    if only_groups is None:
+        man.mark("resume_probe", probe_fp, run_id)
     return man
 
 

@@ -130,3 +130,38 @@ def test_loaded_index_rank_identity(spark, tmp_path):
         got = [(r["rank"], r["doc_id"]) for r in wand(text, k).collect()]
         want = [(r, d_) for r, d_, _ in oracle.topk(text, k)]
         assert got == want, (qid, text)
+
+
+def test_resume_probe_fast_path_and_content_staleness(spark, tmp_path):
+    """A completed build certifies itself with a content-inclusive
+    fingerprint ('resume_probe'): the next identical invocation returns
+    after ONE scan-agg with no new manifest activity. Changing a row's
+    CONTENT (same keys) must miss the fast path and re-encode the
+    changed shard's group — the no-silent-staleness contract."""
+    from pyspark.sql import functions as F
+
+    corpus = gen_corpus_spark(spark, N_DOCS, partitions=8)
+    d = str(tmp_path / "idx")
+    build_persisted_index(spark, corpus, d, **KW)
+    man1 = json.load(open(os.path.join(d, "_manifest.json")))["units"]
+    assert "resume_probe" in man1, sorted(man1)
+    # identical re-run: fast path — zero units re-marked
+    build_persisted_index(spark, corpus, d, **KW)
+    man2 = json.load(open(os.path.join(d, "_manifest.json")))["units"]
+    assert man2 == man1
+    # content-only change (keys identical): fast path must MISS and the
+    # affected postings group must be rebuilt with a new fingerprint
+    changed = corpus.withColumn(
+        "content",
+        F.when(F.col("path") == corpus.first()["path"],
+               F.concat(F.col("content"), F.lit(" zzznewterm")))
+        .otherwise(F.col("content")),
+    )
+    build_persisted_index(spark, changed, d, **KW)
+    man3 = json.load(open(os.path.join(d, "_manifest.json")))["units"]
+    assert man3["resume_probe"]["fingerprint"] != man1["resume_probe"]["fingerprint"]
+    assert any(
+        u.startswith("postings/group=")
+        and man3[u]["fingerprint"] != man1[u]["fingerprint"]
+        for u in man3
+    )
