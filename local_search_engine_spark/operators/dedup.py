@@ -311,9 +311,16 @@ def doc_shingle_sets(
         narrow = widen_for_kernel(
             docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
         )
+        # asNondeterministic (guide §4.4): callers filter on
+        # size(shingles) > 0, and the optimizer pushes that filter BELOW
+        # the widening exchange, duplicating the whole tokenize+shingle
+        # kernel — once on the thin pre-widen layout. The kernel is pure;
+        # the marker only pins a single evaluation above the exchange.
         return narrow.select(
             "doc_id",
-            _shingles_pandas_udf(n)(F.col(text_col)).alias("shingles"),
+            _shingles_pandas_udf(n)
+            .asNondeterministic()(F.col(text_col))
+            .alias("shingles"),
         )
 
     toks_df = docs.select(
@@ -674,12 +681,26 @@ def minhash_lsh_pairs(
     if threshold > 1.0:
         return cross
     shingled_reps = sets.select(F.col("doc_id").alias("rep"))
+    # SALTED intra-group pair fan-out (guide §2.5): a g-member identical
+    # group is ONE join key, so the un-salted self-join put all g(g-1)/2
+    # pair emissions in a single task (the 1/13-boilerplate group at
+    # 50k docs is ~3.8k members → ~7M pairs in one task). Deterministic
+    # salt = xa % S on the left, right replicated S ways: each pair
+    # (xa, xb) is emitted exactly once (in xa's salt bucket) and the hot
+    # key's work spreads across S tasks. Pair set identical.
+    n_salt = 16
     m1 = members.join(shingled_reps, "rep").select(
-        "rep", F.col("doc_id").alias("xa")
+        "rep",
+        F.col("doc_id").alias("xa"),
+        F.pmod(F.col("doc_id"), F.lit(n_salt)).alias("_salt"),
     )
-    m2 = members.select("rep", F.col("doc_id").alias("xb"))
+    m2 = members.select(
+        "rep",
+        F.col("doc_id").alias("xb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+    )
     intra = (
-        m1.join(m2, "rep")
+        m1.join(m2, ["rep", "_salt"])
         .filter(F.col("xa") < F.col("xb"))
         .select(
             F.col("xa").alias("a"),
@@ -730,9 +751,16 @@ def simhash_signatures(
         narrow = widen_for_kernel(
             docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
         )
+        # asNondeterministic (guide §4.4): the isNotNull filter below
+        # would otherwise push under the widening exchange and duplicate
+        # the kernel — one evaluation landing on the thin pre-widen
+        # layout (verified in the captured plan). Pure function; the
+        # marker only pins a single post-exchange evaluation.
         return narrow.select(
             "doc_id",
-            simhash_text_udf(SIMHASH_BITS)(F.col(text_col)).alias("simhash"),
+            simhash_text_udf(SIMHASH_BITS)
+            .asNondeterministic()(F.col(text_col))
+            .alias("simhash"),
         ).filter(F.col("simhash").isNotNull())
 
     toks = tokenize_expr(F.col(text_col))

@@ -79,8 +79,14 @@ def extract_symbols(docs, text_col: str = "content", lang_col: str = "lang", id_
     for lg, arr in branches:
         case = F.when(lang == lg, arr) if case is None else case.when(lang == lg, arr)
     case = case.otherwise(dict(branches)[DEFAULT_LANG])
+    # widen a thin scan before the per-row regex battery (row placement
+    # cannot change results: one output row per extracted occurrence,
+    # downstream aggregates are counts/sorted sets)
+    from ..plans.layout import widen_for_kernel
+
     return (
-        docs.select(
+        widen_for_kernel(docs.select(id_col, *([lang_col] if lang_col in docs.columns else []), text_col))
+        .select(
             F.col(id_col).alias("doc_id"),
             lang.alias("lang"),
             F.explode(case).alias("k"),

@@ -33,7 +33,15 @@ def doc_trigrams(docs, text_col: str = "content", id_col: str = "doc_id"):
     the only shuffle downstream is whatever the caller aggregates."""
     from pyspark.sql import functions as F
 
-    t = F.col(text_col)
+    # widen a thin scan before the per-row trigram explode (the
+    # interpreted substr transform is the cost; everything downstream
+    # aggregates integers, so row placement cannot change results)
+    from ..plans.layout import widen_for_kernel
+
+    narrow = widen_for_kernel(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    )
+    t = F.col("_t")
     n = F.length(t)
     grams = F.array_distinct(
         F.transform(
@@ -44,9 +52,8 @@ def doc_trigrams(docs, text_col: str = "content", id_col: str = "doc_id"):
     # sequence(1, n-2) DESCENDS for n < 3 (the same trap the tf builder
     # guards): short docs contribute no trigrams
     grams = F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), grams.alias("g"))
-        .select("doc_id", F.explode("g").alias("trigram"))
+    return narrow.select("doc_id", grams.alias("g")).select(
+        "doc_id", F.explode("g").alias("trigram")
     )
 
 

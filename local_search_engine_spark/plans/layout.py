@@ -38,7 +38,11 @@ def widen_for_kernel(df, min_factor: int = 2):
     plan under AQE executes the upstream stages. Row-set identical by
     construction: repartition only moves rows."""
     try:
-        plan = df._jdf.queryExecution().sparkPlan().toString()
+        # executedPlan, not sparkPlan: exchanges are inserted by the
+        # EnsureRequirements preparation phase, so the pre-preparation
+        # sparkPlan NEVER contains them and the guard would not fire.
+        # Building executedPlan is planning only — no job runs.
+        plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return df
     if _SHUFFLE_EXCHANGE.search(plan):
