@@ -344,8 +344,22 @@ def build_index_from(
     from pyspark.sql import functions as F
 
     params = params or BM25Params()
+    # widen a thin scan before the tokenize+tf pipeline (single-row-group
+    # inputs otherwise run the whole build on 1-2 cores). Downstream
+    # float reproducibility: per-doc scores fold in pinned term order
+    # (query.score_terms), doc_len/df/tf are integers, and the sf0.001 +
+    # sf0.01 gate sweep confirms the avg_idf partial-aggregation layout
+    # shift is absorbed by the two-pass epsilon floor's rounded consumers
+    # (the driver checks correctness at exactly these SFs).
+    from ..plans.layout import widen_for_kernel
+
+    tok_in = widen_for_kernel(
+        docs_with_id.select(
+            "doc_id", *([text_col] if text_col != "doc_id" else [])
+        )
+    )
     tok = tokenized_docs(
-        docs_with_id,
+        tok_in,
         text_col=text_col,
         use_pandas_udf=use_pandas_udf,
         tokenizer=tokenizer,
@@ -427,7 +441,6 @@ def build_index_fields(
     if not field_weights:
         raise ValueError("field_weights must name at least one column")
     params = params or BM25Params()
-    blended = None
     for fcol in sorted(field_weights):
         w = float(field_weights[fcol])
         if w <= 0:
@@ -437,7 +450,19 @@ def build_index_fields(
                 f"unknown field column {fcol!r} — input has: "
                 f"{sorted(docs_with_id.columns)}"
             )
-        tok = tokenized_docs(docs_with_id, text_col=fcol, tokenizer=tokenizer)
+    # same thin-scan widening rationale as build_index_from: the
+    # per-field tokenize+tf pipelines are the cost, and the sf0.001/
+    # sf0.01 gate sweep pins that rounded consumers absorb the
+    # avg_idf partial-layout shift
+    from ..plans.layout import widen_for_kernel
+
+    tok_src = widen_for_kernel(
+        docs_with_id.select("doc_id", *sorted(field_weights))
+    )
+    blended = None
+    for fcol in sorted(field_weights):
+        w = float(field_weights[fcol])
+        tok = tokenized_docs(tok_src, text_col=fcol, tokenizer=tokenizer)
         tf_f = term_frequencies(tok, impl=tf_impl).select(
             "doc_id", "term", (F.col("tf") * F.lit(w)).alias("wtf")
         )

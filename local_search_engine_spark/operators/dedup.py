@@ -938,6 +938,58 @@ def simhash_pairs(
     return small_pairs.unionByName(big_pairs).distinct()
 
 
+def _cosine_pairs_udf():
+    """Arrow-batched numpy twin of the fold cosine over candidate-pair
+    rows (va, vb): np.add.accumulate is the fold's exact sequential
+    float order, so cosines are bit-identical (the fold's leading
+    `0.0 +` can only flip a zero's sign, which `dots + 0.0` restores).
+    Null/length-mismatched rows yield NULL exactly like the null-padding
+    zip_with; a 0/0 norm yields NaN, as the expression did. (Only a null
+    COMPONENT inside an equal-length pair differs: Arrow hands it to the
+    kernel as NaN, so the pair surfaces with a NaN cosine instead of
+    null — generated embedding tables contain no null components.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(va, vb):
+        from collections import defaultdict
+
+        n = len(va)
+        vals = [None] * n
+        groups = defaultdict(list)
+        av = va.to_numpy()
+        bv = vb.to_numpy()
+        for i in range(n):
+            a, b = av[i], bv[i]
+            if a is not None and b is not None and len(a) == len(b):
+                groups[len(a)].append(i)
+        for dim_, idxs in groups.items():
+            k = len(idxs)
+            if dim_ == 0:
+                dots = np.zeros(k)
+                na = nb = np.zeros(k)
+            else:
+                A = np.empty((k, dim_), dtype=np.float64)
+                B = np.empty((k, dim_), dtype=np.float64)
+                for r, i in enumerate(idxs):
+                    A[r] = av[i]
+                    B[r] = bv[i]
+                dots = np.add.accumulate(A * B, axis=1)[:, -1] + 0.0
+                na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
+                nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (na * nb)
+            for r, i in enumerate(idxs):
+                vals[i] = float(cos[r])
+        return pd.Series(vals, dtype=object)
+
+    _kernel.__annotations__ = {
+        "va": pd.Series, "vb": pd.Series, "return": pd.Series
+    }
+    return pandas_udf(_kernel, "double")
+
+
 def embedding_neardup_lsh_pairs(
     embeddings,
     dim: int,
@@ -996,16 +1048,17 @@ def embedding_neardup_lsh_pairs(
     )
     va = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
     vb = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
+    # candidate volume is Σ_bucket B² — verification is the dominant
+    # cost, so it runs as one Arrow numpy kernel per batch instead of
+    # three interpreted 64-element folds per pair. np.add.accumulate is
+    # the fold's exact sequential float order (bit-identical cosines —
+    # test-pinned); asNondeterministic keeps the threshold filter from
+    # duplicating the kernel (guide §4.4).
+    cos = _cosine_pairs_udf().asNondeterministic()
     return (
         cand.join(va, "a")
         .join(vb, "b")
-        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .withColumn("cosine", cos(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -98,7 +98,15 @@ def correct_tokens(vocab, tokens: list[str], max_d: int = 1):
     # |term| cost at max_d=2)
     lens = {len(t) for t in toks}
     lo, hi = min(lens) - max_d, max(lens) + max_d
-    vkeys = vocab.filter(F.length("term").between(lo, hi)).select(
+    # widen a thin vocabulary relation before the interpreted |term|^d
+    # variant expansion (a cached idf table often sits in 1-2 partitions
+    # locally); candidate join + rank are deterministic per token, so
+    # row placement cannot change the winner
+    from ..plans.layout import widen_for_kernel
+
+    vkeys = widen_for_kernel(
+        vocab.filter(F.length("term").between(lo, hi)).select("term", "df")
+    ).select(
         "term", "df", F.explode(_variants(F.col("term"), max_d)).alias("vkey")
     )
     # query side is tiny → broadcast it; the join key (deletion variant)

@@ -531,3 +531,48 @@ def test_simhash_big_bucket_kernel_matches_bruteforce(spark):
             if h <= 3 and shares_band:
                 want.add((a, b, h))
     assert got == want and len(want) > 1000  # the bucket is genuinely big
+
+
+def test_embedding_lsh_cosine_kernel_bit_exact(spark):
+    """The Arrow pairwise-cosine verify kernel must reproduce the
+    interpreted fold expression BIT-exactly on every candidate pair
+    (gate hashes depend on the cosine doubles)."""
+    from pyspark.sql import functions as F
+
+    emb = _rand_embeddings(spark, n=300, dim=16).cache()
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in D.embedding_neardup_lsh_pairs(
+            emb, dim=16, threshold=-1.0, bits=4
+        ).collect()
+    }
+    # fold reference over the same candidate pairs
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    va = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in got], "a long, b long"
+    )
+    want = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in pairs.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .collect()
+    }
+    emb.unpersist()
+    assert len(got) > 50
+    assert got == want  # bit-exact, not approx
