@@ -33,24 +33,35 @@ def rrf_fuse(dense, sparse, k_fusion: int = 50, w_dense: float = 0.5, w_sparse: 
     reference's default rank len(results)+1 (retriever.py:450-453).
     Tie-break (score DESC, id ASC), pinned as everywhere in the engine.
 
-    The per-side sizes are IN-PLAN broadcast scalar aggregates (a 1x1
-    crossJoin), not driver .count() actions — the whole fusion is one
-    Spark job, no extra round-trips per query. With topk the cut is
-    orderBy().limit() (TakeOrderedAndProject) BEFORE the rank window, so
-    the single-partition window only ever sees ≤topk rows.
+    The per-side sizes are unbounded-window counts over the JOINED
+    relation (ranked inputs carry unique ids and non-null ranks, so
+    count(rank_side) over the full-outer join == that side's row count)
+    — still one Spark job with zero driver actions, and each leg's
+    pipeline now appears in the plan exactly ONCE. The previous 1x1
+    scalar-aggregate crossJoin referenced every leg twice (size agg +
+    join), and Catalyst re-executes duplicated subtrees — both retrieval
+    legs ran twice per fused query (r06, found via the hybrid leg/total
+    timing gap). The windows run over ≤ (n_d + n_s) already-ranked rows.
+    With topk the cut is orderBy().limit() (TakeOrderedAndProject)
+    BEFORE the rank window, so the single-partition window only ever
+    sees ≤topk rows.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     d = dense.select(F.col("id"), F.col("rank").alias("rank_d"))
     s = sparse.select(F.col("id"), F.col("rank").alias("rank_s"))
-    sizes = F.broadcast(
-        d.agg(F.count("*").alias("n_d")).crossJoin(s.agg(F.count("*").alias("n_s")))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    joined = d.join(s, "id", "full_outer").crossJoin(sizes).select(
+    joined = d.join(s, "id", "full_outer").select(
         "id",
-        F.coalesce("rank_d", (F.col("n_d") + 1).cast("int")).alias("rank_d"),
-        F.coalesce("rank_s", (F.col("n_s") + 1).cast("int")).alias("rank_s"),
+        F.coalesce(
+            "rank_d", (F.count("rank_d").over(w_all) + 1).cast("int")
+        ).alias("rank_d"),
+        F.coalesce(
+            "rank_s", (F.count("rank_s").over(w_all) + 1).cast("int")
+        ).alias("rank_s"),
     )
     score = F.lit(w_dense) / (F.lit(k_fusion) + F.col("rank_d")) + F.lit(w_sparse) / (
         F.lit(k_fusion) + F.col("rank_s")
@@ -70,31 +81,35 @@ def score_combine(dense, sparse, w_dense: float = 0.5, w_sparse: float = 0.5, to
     are full-outer joined on id with 0.0 defaults for missing entries
     (:689), and blended w_d * nd + w_s * ns.
 
-    Inputs: (id, score) DataFrames. The per-side maxima are IN-PLAN
-    broadcast scalar aggregates (1x1 crossJoin) — zero driver actions per
-    query; the whole combine is one Spark job. Non-positive or absent
-    maxima leave that side's scores 0 (degenerate-corpus guard). With
-    topk the cut is orderBy().limit() (TakeOrderedAndProject) before the
-    ≤topk-row rank window. Output: (combined_rank, id, norm_d, norm_s,
-    combined) with the pinned (score DESC, id ASC) tie-break.
+    Inputs: (id, score) DataFrames. The per-side maxima are
+    unbounded-window aggregates over the JOINED relation (max ignores
+    the other side's nulls, so it equals that side's max) — one Spark
+    job, zero driver actions, and each leg's pipeline appears in the
+    plan exactly once (the former 1x1 scalar-aggregate crossJoin
+    referenced every leg twice and Catalyst re-executed both — same
+    fix as rrf_fuse, r06). Non-positive or absent maxima leave that
+    side's scores 0 (degenerate-corpus guard). With topk the cut is
+    orderBy().limit() (TakeOrderedAndProject) before the ≤topk-row rank
+    window. Output: (combined_rank, id, norm_d, norm_s, combined) with
+    the pinned (score DESC, id ASC) tie-break.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     d = dense.select(F.col("id"), F.col("score").alias("score_d"))
     s = sparse.select(F.col("id"), F.col("score").alias("score_s"))
-    maxes = F.broadcast(
-        d.agg(F.max("score_d").alias("mx_d")).crossJoin(
-            s.agg(F.max("score_s").alias("mx_s"))
-        )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    joined = d.join(s, "id", "full_outer").crossJoin(maxes).select(
+    mx_d = F.max("score_d").over(w_all)
+    mx_s = F.max("score_s").over(w_all)
+    joined = d.join(s, "id", "full_outer").select(
         "id",
         F.when(
-            F.col("mx_d") > 0, F.coalesce("score_d", F.lit(0.0)) / F.col("mx_d")
+            mx_d > 0, F.coalesce("score_d", F.lit(0.0)) / mx_d
         ).otherwise(F.lit(0.0)).alias("norm_d"),
         F.when(
-            F.col("mx_s") > 0, F.coalesce("score_s", F.lit(0.0)) / F.col("mx_s")
+            mx_s > 0, F.coalesce("score_s", F.lit(0.0)) / mx_s
         ).otherwise(F.lit(0.0)).alias("norm_s"),
     )
     out = joined.withColumn(
