@@ -173,11 +173,18 @@ def with_doc_ids(corpus, partitions: int | None = None):
 def tokenized_docs(
     docs,
     text_col: str = "content",
-    use_pandas_udf: bool = False,
+    use_pandas_udf: bool = True,
     tokenizer=None,
 ):
-    """Add tokens + doc_len. Default path is pure built-in expressions
-    (JVM codegen); the pandas-UDF path is semantically identical.
+    """Add tokens + doc_len. Default path (r06) is the Arrow-batched
+    pandas UDF: the expression tokenizer's filter lambda is an
+    INTERPRETED higher-order function and downstream in-row consumers
+    re-reference the whole split tree, measuring 2.5 s for a 50 k-doc
+    tokenize pass vs 0.75 s through the kernel (which is also a
+    substitution barrier, so tokens materialize exactly once). The two
+    paths are token-identical (tests/test_tokenizer.py asserts it);
+    pass use_pandas_udf=False for the pure-JVM fallback where Arrow is
+    unavailable.
 
     tokenizer: optional Column→Column analyzer override (e.g.
     functions.tokenize.tokenize_code_expr for camelCase/snake_case
@@ -323,7 +330,7 @@ def build_index_from(
     docs_with_id,
     text_col: str = "content",
     params: BM25Params | None = None,
-    use_pandas_udf: bool = False,
+    use_pandas_udf: bool = True,
     cache: bool = True,
     tf_impl: str = "auto",
     tokenizer=None,
@@ -522,7 +529,7 @@ def build_index_fields(
 def build_index(
     corpus,
     params: BM25Params | None = None,
-    use_pandas_udf: bool = False,
+    use_pandas_udf: bool = True,
     cache: bool = True,
     tf_impl: str = "auto",
 ) -> InvertedIndex:

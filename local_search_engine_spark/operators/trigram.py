@@ -33,14 +33,12 @@ def doc_trigrams(docs, text_col: str = "content", id_col: str = "doc_id"):
     the only shuffle downstream is whatever the caller aggregates."""
     from pyspark.sql import functions as F
 
-    # widen a thin scan before the per-row trigram explode (the
-    # interpreted substr transform is the cost; everything downstream
-    # aggregates integers, so row placement cannot change results)
-    from ..plans.layout import widen_for_kernel
-
-    narrow = widen_for_kernel(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-    )
+    # NOT widened (unlike the other per-row operators): doc_trigrams is
+    # typically consumed by several actions per query (candidate AND +
+    # verify legs), and re-paying the widening shuffle per action
+    # measured net-SLOWER at sf1.0 (bool_leafzoo +0.8 s, trigram_regex
+    # +0.3 s) than the single-partition explode it parallelizes
+    narrow = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     t = F.col("_t")
     n = F.length(t)
     grams = F.array_distinct(
