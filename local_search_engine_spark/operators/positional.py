@@ -178,11 +178,26 @@ def build_positional_postings(
         "term_bucket", F.pmod(h32_col(F.col("term")), F.lit(n_buckets)).cast("int")
     )
 
-    def encode_group(pdf):
-        return _encode_pos_group(pdf, span)
+    def encode_partition(batches):
+        # one Arrow round trip per partition instead of per
+        # (term_bucket, part_id) group — same delivery rewrite as
+        # operators/postings.py; per-group bytes identical
+        # (_encode_pos_group is unchanged and shared with compaction)
+        import pandas as pd
 
-    return keyed.groupBy("term_bucket", "part_id").applyInPandas(
-        encode_group, POS_POSTINGS_SCHEMA
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        outs = [
+            _encode_pos_group(grp, span)
+            for _, grp in allp.groupby(["term_bucket", "part_id"], sort=False)
+        ]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return keyed.repartition("term_bucket", "part_id").mapInPandas(
+        encode_partition, POS_POSTINGS_SCHEMA
     )
 
 

@@ -159,33 +159,60 @@ def build_postings(
             columns=cols,
         )
 
-    postings = joined.groupBy("term_bucket", "part_id").applyInPandas(
-        encode_group, POSTINGS_SCHEMA
+    def encode_partition(batches):
+        """One hash repartition colocates each (term_bucket, part_id)
+        group; the kernel groups a partition's rows in pandas and runs
+        the per-group encoder — byte-identical output rows, but ONE
+        Arrow round trip per partition instead of per group (the
+        grouped-map machinery measured ~1 s of pure overhead for the
+        ~2 000 bucket-shard groups at sf1.0 — same finding as the WAND
+        delivery rewrite)."""
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        outs = [
+            encode_group(grp)
+            for _, grp in allp.groupby(["term_bucket", "part_id"], sort=False)
+        ]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    postings = joined.repartition("term_bucket", "part_id").mapInPandas(
+        encode_partition, POSTINGS_SCHEMA
     )
 
-    def pack_shard(pdf):
+    def pack_partition(batches):
         import numpy as np
         import pandas as pd
 
         from ..functions.codec import pack_i32
 
-        pdf = pdf.sort_values("doc_id")
-        return pd.DataFrame(
-            [
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        rows = []
+        for pid, grp in allp.groupby("part_id", sort=False):
+            grp = grp.sort_values("doc_id")
+            rows.append(
                 (
-                    int(pdf["part_id"].iloc[0]),
-                    int(pdf["doc_id"].iloc[0]),
-                    len(pdf),
-                    pack_i32(pdf["doc_len"].to_numpy(np.int32)),
+                    int(pid),
+                    int(grp["doc_id"].iloc[0]),
+                    len(grp),
+                    pack_i32(grp["doc_len"].to_numpy(np.int32)),
                 )
-            ],
-            columns=["part_id", "first_doc_id", "n_docs", "doc_lens"],
+            )
+        yield pd.DataFrame(
+            rows, columns=["part_id", "first_doc_id", "n_docs", "doc_lens"]
         )
 
     shard_meta = (
         index.docs.select("doc_id", "doc_len")
         .withColumn("part_id", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long"))
-        .groupBy("part_id")
-        .applyInPandas(pack_shard, SHARD_META_SCHEMA)
+        .repartition("part_id")
+        .mapInPandas(pack_partition, SHARD_META_SCHEMA)
     )
     return postings, shard_meta
